@@ -1,0 +1,49 @@
+"""FAMSA-compatible command-line interface (port of src/famsa.cpp)."""
+
+import sys
+
+from .core.io_service import load_fasta_records, save_alignment
+from .core.params import parse_args
+from .core.sequence import Sequence
+from .pipeline import align_profiles, compute_msa
+
+
+def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+
+    params, ok = parse_args(argv)
+    if not ok:
+        sys.stderr.write("Usage: famsa_tpu [options] <input_file> "
+                         "[<input_file_2>] <output_file>\n")
+        return 0
+
+    if params.profile_aligning:
+        recs1 = load_fasta_records(params.input_file_name)
+        recs2 = load_fasta_records(params.input_file_name_2)
+        for recs in (recs1, recs2):
+            if not recs or len({len(s) for _, s in recs}) != 1:
+                raise RuntimeError("Incorrect profile")
+        params.adjust(len(recs1) + len(recs2))
+        result = align_profiles(params, recs1, recs2)
+        save_alignment(params.output_file_name, result,
+                       params.gzip_level if params.gzipped_output else -1,
+                       params.rare_column_threshold if params.remove_rare_columns else 1.0)
+        return 0
+
+    records = load_fasta_records(params.input_file_name)
+    if not records:
+        raise RuntimeError("No (or incorrect) input file.")
+
+    sequences = [Sequence(rid, rseq, i) for i, (rid, rseq) in enumerate(records)]
+    result = compute_msa(params, sequences)
+
+    if result.alignment is not None:
+        save_alignment(params.output_file_name, result.alignment,
+                       params.gzip_level if params.gzipped_output else -1,
+                       params.rare_column_threshold if params.remove_rare_columns else 1.0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+"""Profile alignment dispatch (port of CProfile::Align, profile.cpp:244-305)."""
+
+import numpy as np
+
+from .construct import construct_profile
+from .dp import dp_prof_prof, dp_seq_prof, dp_seq_seq
+from .profile import Profile
+
+
+def align_into(dest: Profile, profile1: Profile, profile2: Profile,
+               column_mapping1=None, column_mapping2=None, backend="numpy"):
+    """Aligns profile1 and profile2; result stored in dest.  The children's
+    data lists are consumed (moved)."""
+    if not profile1.data or not profile2.data:
+        raise ValueError("Profiles cannot be empty")
+    if profile1.counters is None:
+        profile1.calculate_counters_scores()
+    if profile2.counters is None:
+        profile2.calculate_counters_scores()
+
+    if backend == "jax":
+        from ..ops.dp_jax import dp_dispatch_jax
+        dp_ss, dp_sp, dp_pp = dp_dispatch_jax()
+    else:
+        dp_ss, dp_sp, dp_pp = dp_seq_seq, dp_seq_prof, dp_prof_prof
+
+    n1, n2 = len(profile1.data), len(profile2.data)
+    if n1 == 1 and n2 == 1:
+        res = dp_ss(dest.params, profile1, profile2)
+        construct_profile(dest, profile1, profile2, res)
+    elif n1 == 1:
+        res = dp_sp(dest.params, profile1, profile2, column_mapping1, column_mapping2)
+        construct_profile(dest, profile1, profile2, res)
+    elif n2 == 1:
+        res = dp_sp(dest.params, profile2, profile1, column_mapping2, column_mapping1)
+        construct_profile(dest, profile2, profile1, res)
+    else:
+        nnz1 = int(np.count_nonzero(profile1.counters))
+        nnz2 = int(np.count_nonzero(profile2.counters))
+        if nnz1 * profile2.width < nnz2 * profile1.width:
+            res = dp_pp(dest.params, profile1, profile2, column_mapping1, column_mapping2)
+            construct_profile(dest, profile1, profile2, res)
+        else:
+            res = dp_pp(dest.params, profile2, profile1, column_mapping2, column_mapping1)
+            construct_profile(dest, profile2, profile1, res)
+    return dest

@@ -1,0 +1,286 @@
+"""End-to-end MSA pipeline (port of /root/reference/src/msa.cpp CFAMSA).
+
+Stages: sort+dedup -> guide tree (device-batched distances) -> progressive
+profile alignment up the tree -> iterative refinement -> duplicate
+restoration and input-order output."""
+
+import sys
+
+import numpy as np
+
+from .core import params as P
+from .core.aligner import align_into
+from .core.defs import UNKNOWN_SYMBOL
+from .core.profile import Profile
+from .core.refinement import refine_alignment
+from .core.sequence import GappedSequence, Sequence
+from .ops.distance import get_distance_backend
+from .tree.fast_tree import FastTree
+from .tree.guide_tree import GuideTree
+from .tree.mst_prim import mst_prim_tree
+from .tree.nj import nj_tree
+from .tree.slink import slink_tree
+from .tree.upgma import upgma_distance_matrix, upgma_tree
+
+
+# ----------------------------------------------------------------------
+def sort_and_extend(sequences):
+    """Stable sort by (length desc, data lexicographic asc) + pad to max
+    (msa.cpp:245-279)."""
+    order = sorted(range(len(sequences)),
+                   key=lambda i: (-sequences[i].length,
+                                  sequences[i].data.tobytes()))
+    out = [sequences[i] for i in order]
+    max_len = out[0].length if out else 0
+    for s in out:
+        s.resize(max_len, UNKNOWN_SYMBOL)
+    return out
+
+
+def remove_duplicates(sorted_seqs, original2sorted):
+    """msa.cpp:338-356; sorted_seqs filtered in place."""
+    uniq = [sorted_seqs[0]]
+    cur = 0
+    for i in range(1, len(sorted_seqs)):
+        a, b = sorted_seqs[i], sorted_seqs[i - 1]
+        same = (a.length == b.length
+                and np.array_equal(a.data[:a.length], b.data[:b.length]))
+        if not same:
+            cur += 1
+            uniq.append(sorted_seqs[i])
+        original2sorted[i] = cur
+    return uniq
+
+
+# ----------------------------------------------------------------------
+def _make_partial_generator(params, measure):
+    """Partial generator used by FastTree (createTreeGenerator semantics)."""
+    method = params.gt_method
+    backend = params.backend
+
+    def partial(seqs, tree_list):
+        if len(seqs) < 2:
+            return
+        if method in (P.GT_SLINK, P.GT_MST_PRIM):
+            be = get_distance_backend(seqs, measure, np.float64, backend)
+            slink_tree(len(seqs), lambda i: be.row_prefix(i, i), tree_list)
+        elif method in (P.GT_UPGMA, P.GT_UPGMA_MODIFIED):
+            be = get_distance_backend(seqs, measure, np.float32, backend)
+            dmat = upgma_distance_matrix(len(seqs), lambda i: be.row_prefix(i, i))
+            upgma_tree(dmat, len(seqs), tree_list,
+                       modified=(method == P.GT_UPGMA_MODIFIED))
+        elif method == P.GT_NJ:
+            be = get_distance_backend(seqs, measure, np.float32, backend)
+            dmat = upgma_distance_matrix(len(seqs), lambda i: be.row_prefix(i, i))
+            nj_tree(dmat, len(seqs), tree_list)
+        else:
+            raise ValueError("Error: Illegal guide tree method.")
+
+    return partial
+
+
+def build_guide_tree(params, sequences, tree: GuideTree):
+    """createTreeGenerator + run (msa.cpp:109-242, 570-573)."""
+    measure = params.distance
+    backend = params.backend
+    n = len(sequences)
+    tree.init_leaves(n)
+    tree_list = tree.tree
+
+    if params.gt_heuristic != P.HEUR_NONE:
+        ft = FastTree(
+            measure,
+            _make_partial_generator(params, measure),
+            params.medoid.subtree_size,
+            params.medoid.sample_size,
+            params.medoid.num_evaluations,
+            params.medoid.threshold,
+            use_clustering=(params.gt_heuristic == P.HEUR_MEDOIDTREE),
+            cluster_fraction=params.medoid.cluster_fraction,
+            cluster_iters=params.medoid.cluster_iters,
+            seed_observer=_make_seed_dumper(params) if params.seed_file_name else None,
+        )
+        ft.run(sequences, tree_list)
+        return
+
+    if params.gt_method == P.GT_SLINK:
+        be = get_distance_backend(sequences, measure, np.float64, backend)
+        slink_tree(n, lambda i: be.row_prefix(i, i), tree_list)
+    elif params.gt_method == P.GT_MST_PRIM:
+        be = get_distance_backend(sequences, measure, np.float64, backend)
+        mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list)
+    elif params.gt_method in (P.GT_UPGMA, P.GT_UPGMA_MODIFIED):
+        be = get_distance_backend(sequences, measure, np.float32, backend)
+        dmat = upgma_distance_matrix(n, lambda i: be.row_prefix(i, i))
+        upgma_tree(dmat, n, tree_list,
+                   modified=(params.gt_method == P.GT_UPGMA_MODIFIED))
+    elif params.gt_method == P.GT_NJ:
+        be = get_distance_backend(sequences, measure, np.float32, backend)
+        dmat = upgma_distance_matrix(n, lambda i: be.row_prefix(i, i))
+        nj_tree(dmat, n, tree_list)
+    else:
+        raise ValueError("Error: Illegal guide tree method.")
+
+
+def _make_seed_dumper(params):
+    f = open(params.seed_file_name, "w")
+
+    def dump(seeds, depth):
+        if depth == 0:
+            for s in seeds:
+                f.write(s.id[1:] + "\n")
+            f.flush()
+    return dump
+
+
+# ----------------------------------------------------------------------
+def compute_alignment(params, gapped_sequences, tree_list):
+    """Progressive alignment up the guide tree (msa.cpp:360-438).
+
+    gapped_sequences: list of GappedSequence for leaves (mapped order).
+    The scheduler is a level-batched topological sweep; any topological
+    order yields identical output because each merge is deterministic."""
+    n = len(gapped_sequences)
+    profiles = {}
+    ref_thr = params.thr_internal_refinement
+
+    for node_id in range(len(tree_list)):
+        a, b = tree_list[node_id]
+        if node_id < n:
+            continue
+        for child in (a, b):
+            if child < n and child not in profiles:
+                profiles[child] = Profile.from_gapped_sequence(
+                    gapped_sequences[child], params)
+        prof1 = profiles.pop(a)
+        prof2 = profiles.pop(b)
+
+        if ref_thr and prof1.size() + prof2.size() > ref_thr:
+            if 2 < prof1.size() <= ref_thr:
+                prof1 = refine_alignment(prof1, params, backend=params.backend)
+            if 2 < prof2.size() <= ref_thr:
+                prof2 = refine_alignment(prof2, params, backend=params.backend)
+
+        dest = Profile(params)
+        align_into(dest, prof1, prof2, backend=params.backend)
+        profiles[node_id] = dest
+
+    if not profiles:
+        # single leaf
+        return Profile.from_gapped_sequence(gapped_sequences[0], params)
+    assert len(profiles) == 1
+    return profiles.popitem()[1]
+
+
+# ----------------------------------------------------------------------
+class MSAResult:
+    def __init__(self):
+        self.alignment = None      # list[GappedSequence] in input order
+        self.tree = None
+        self.statistics = {}
+
+
+def compute_msa(params, sequences):
+    """Full pipeline (msa.cpp:470-672). `sequences` is a list of Sequence
+    in input order; consumed. Returns MSAResult."""
+    result = MSAResult()
+    params.adjust(len(sequences))
+
+    tree = GuideTree()
+
+    if params.export_distances:
+        from .tree.distance_export import export_distances
+        max_len = max(s.length for s in sequences)
+        for s in sequences:
+            s.resize(max_len, UNKNOWN_SYMBOL)
+        export_distances(params, sequences)
+        return result
+
+    sequences = sort_and_extend(sequences)
+    original2mapped = list(range(len(sequences)))
+
+    if not params.keep_duplicates:
+        mapped_seqs = remove_duplicates(sequences, original2mapped)
+    else:
+        mapped_seqs = list(sequences)
+
+    if len(mapped_seqs) == 1:
+        final = [GappedSequence.from_sequence(s) for s in sequences]
+        result.alignment = final
+        return result
+
+    for i, s in enumerate(mapped_seqs):
+        s.sequence_no = i
+
+    if params.gt_method == P.GT_IMPORTED:
+        # Newick import works in sorted-sequence space (msa.cpp:564-567)
+        tree.load_newick(params.guide_tree_in_file, [s.id for s in sequences])
+        tree.to_unique(original2mapped, len(mapped_seqs))
+    else:
+        build_guide_tree(params, mapped_seqs, tree)
+
+    # shrink sequences back to true length (msa.cpp:574)
+    for s in sequences:
+        s.resize(s.length, UNKNOWN_SYMBOL)
+
+    result.tree = tree
+
+    if params.export_tree:
+        # tree store works in sorted-sequence space (msa.cpp:578-586)
+        tree.from_unique(original2mapped)
+        tree.save_newick(params.output_file_name, [s.id for s in sequences])
+        return result
+
+    # gapped conversion (sorted order)
+    gapped_sequences = [GappedSequence.from_sequence(s) for s in sequences]
+    mapped_gapped = [None] * len(mapped_seqs)
+    for i, gs in enumerate(gapped_sequences):
+        if mapped_gapped[original2mapped[i]] is None:
+            mapped_gapped[original2mapped[i]] = gs
+
+    final_profile = compute_alignment(params, mapped_gapped, tree.raw())
+    final_profile = refine_alignment(final_profile, params, backend=params.backend)
+
+    if final_profile.size() != len(mapped_gapped):
+        raise RuntimeError("Error: incomplete guide tree - report a bug")
+
+    # order unique alignment by mapped id
+    ordered_unique = [None] * len(final_profile.data)
+    for gs in final_profile.data:
+        ordered_unique[gs.sequence_no] = gs
+
+    # final input-order alignment with duplicates restored (msa.cpp:626-650)
+    ordered = [None] * len(gapped_sequences)
+    for i, current in enumerate(gapped_sequences):
+        representative = ordered_unique[original2mapped[i]]
+        if current.original_no == representative.original_no:
+            ordered[current.original_no] = representative
+        else:
+            dup = representative.copy()
+            dup.id = current.id
+            dup.original_no = current.original_no
+            ordered[current.original_no] = dup
+
+    result.alignment = ordered
+    return result
+
+
+# ----------------------------------------------------------------------
+def align_profiles(params, records1, records2):
+    """Profile-profile mode (msa.cpp:675-718, famsa.cpp:73-101)."""
+    from .core.sequence import encode_gapped
+
+    prof1 = Profile(params)
+    prof2 = Profile(params)
+    for k, (rid, rseq) in enumerate(records1):
+        prof1.append_raw_sequence(encode_gapped(rid, rseq, k))
+    for k, (rid, rseq) in enumerate(records2):
+        prof2.append_raw_sequence(encode_gapped(rid, rseq, len(records1) + k))
+
+    prof1.calculate_counters_scores()
+    prof2.calculate_counters_scores()
+
+    final = Profile(params)
+    align_into(final, prof1, prof2, backend=params.backend)
+    final = refine_alignment(final, params, backend=params.backend)
+    return final.data
