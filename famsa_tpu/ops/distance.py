@@ -86,6 +86,6 @@ class DistanceBackend:
 
 def get_distance_backend(sequences, measure, dtype, backend="numpy"):
     if backend == "jax":
-        from .lcs_pallas import JaxDistanceBackend
+        from .lcs_jax import JaxDistanceBackend
         return JaxDistanceBackend(sequences, measure, dtype)
     return DistanceBackend(sequences, measure, dtype)

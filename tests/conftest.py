@@ -1,14 +1,22 @@
 import os
 
-# Force JAX onto a virtual 8-device CPU mesh for sharding tests; bench and
-# production runs use the real TPU instead.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force JAX onto a virtual 8-device CPU mesh for tests; bench and production
+# runs use the real TPU.  NOTE: the axon TPU-tunnel plugin ignores
+# JAX_PLATFORMS, so we must use jax.config (and JAX_PLATFORM_NAME for any
+# subprocesses) before the backend initializes.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib
-import pytest
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
 
 REF_TEST = pathlib.Path("/root/reference/test")
 
