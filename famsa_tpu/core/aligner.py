@@ -18,11 +18,16 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
     if profile2.counters is None:
         profile2.calculate_counters_scores()
 
-    if backend == "jax":
-        from ..ops.dp_jax import dp_dispatch_jax
-        dp_ss, dp_sp, dp_pp = dp_dispatch_jax()
-    else:
-        dp_ss, dp_sp, dp_pp = dp_seq_seq, dp_seq_prof, dp_prof_prof
+    dp_ss, dp_sp, dp_pp = dp_seq_seq, dp_seq_prof, dp_prof_prof
+    if backend == "jax" and column_mapping1 is None:
+        # the JAX kernel covers unguided seq-prof and prof-prof (they share
+        # one recurrence); guided (refinement) and seq-seq stay on host
+        from ..ops.dp_jax import dp_profile_jax
+
+        def dp_sp(params, p1, p2, cm1=None, cm2=None):
+            return dp_profile_jax(params, p1, p2)
+
+        dp_pp = dp_sp
 
     n1, n2 = len(profile1.data), len(profile2.data)
     if n1 == 1 and n2 == 1:
