@@ -45,6 +45,27 @@ def _bucket(n):
     return ((n + 4095) // 4096) * 4096
 
 
+def _cummax_log(x):
+    """Inclusive max-scan, log-depth Hillis-Steele (exact for ints; avoids
+    the pathological TPU lowering of lax.cummax on s64)."""
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        x = jnp.maximum(x, jnp.concatenate([jnp.full((k,), NEG_INF), x[:-k]]))
+        k *= 2
+    return x
+
+
+def _cumsum_log(x):
+    """Inclusive add-scan, log-depth (exact for ints)."""
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        x = x + jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
+        k *= 2
+    return x
+
+
 def _gap_correction_arrays(counters, w, card):
     """DP_SolveGapsProblemWhenStarting/Continuing vectorized over columns
     (profile.cpp:1223-1315). counters: [Wp+1, 32]; valid cols 1..w."""
@@ -99,7 +120,7 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
 
     # row 0 boundary (profile_seq.cpp:555-579)
     h0 = jnp.where(jj == 1, p2to[1] * card1, p2te * card1)
-    h0 = jnp.concatenate([jnp.zeros(1, jnp.int64), jnp.cumsum(h0[1:])])
+    h0 = jnp.concatenate([jnp.zeros(1, jnp.int64), _cumsum_log(h0[1:])])
     h0 = jnp.where(jj == 0, NEG_INF, h0)
     h0 = jnp.where(jj == w2, NEG_INF, h0)
     prevD = jnp.where(jj == 0, jnp.int64(0), NEG_INF)
@@ -134,8 +155,9 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         pD, pH, pV = carry
         i = x["i"]
 
-        # match scores for this row: [w2p+1]
-        t = s2_sym @ x["c1"]
+        # match scores for this row: [w2p+1]; explicit mul+reduce (an s64
+        # dot_general is not supported by the TPU X64 rewriter)
+        t = (s2_sym * x["c1"][None, :]).sum(axis=1)
 
         # ---- D channel ----
         tD = pD[:-1] + t[1:]
@@ -181,8 +203,8 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         m = Dfull[:-1] + gh_s
         mv = Vfull[:-1] + gh_s
         m = jnp.where(three, jnp.maximum(m, mv), m)
-        bc = jnp.cumsum(gh_c)
-        run = jax.lax.cummax(m - bc)
+        bc = _cumsum_log(gh_c)
+        run = _cummax_log(m - bc)
         H_ = bc + jnp.maximum(run, NEG_INF)      # H[0] = -inf feed
         Hfull = jnp.concatenate([jnp.array([NEG_INF]), H_])
 
