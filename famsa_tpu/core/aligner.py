@@ -1,10 +1,16 @@
 """Profile alignment dispatch (port of CProfile::Align, profile.cpp:244-305)."""
 
+import os
+
 import numpy as np
 
 from .construct import construct_profile
-from .dp import dp_prof_prof, dp_seq_prof, dp_seq_seq
+from .dp_native import dp_prof_prof, dp_seq_prof, dp_seq_seq
 from .profile import Profile
+
+# device DP pays one dispatch per merge; below this cell count the native
+# host kernel wins
+_JAX_MIN_CELLS = int(float(os.environ.get("FAMSA_TPU_JAX_MIN_CELLS", "4e6")))
 
 
 def align_into(dest: Profile, profile1: Profile, profile2: Profile,
@@ -19,7 +25,8 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
         profile2.calculate_counters_scores()
 
     dp_ss, dp_sp, dp_pp = dp_seq_seq, dp_seq_prof, dp_prof_prof
-    if backend == "jax" and column_mapping1 is None:
+    if (backend == "jax" and column_mapping1 is None
+            and profile1.width * profile2.width >= _JAX_MIN_CELLS):
         # the JAX kernel covers unguided seq-prof and prof-prof (they share
         # one recurrence); guided (refinement) and seq-seq stay on host
         from ..ops.dp_jax import dp_profile_jax

@@ -72,9 +72,16 @@ class DistanceBackend:
             q = self.padded
             ql = self.lengths
         else:
-            q = self.padded[query_ids]
+            q = np.ascontiguousarray(self.padded[query_ids])
             ql = self.lengths[query_ids]
-        lcs = lcs_ref_vs_queries(masks, q)
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and len(q):
+            lcs = np.empty(len(q), dtype=np.int64)
+            lib.lcs_batch(np.ascontiguousarray(masks), masks.shape[1],
+                          q, q.shape[0], q.shape[1], lcs)
+        else:
+            lcs = lcs_ref_vs_queries(masks, q)
         return transform_distances(self.measure, lcs, int(ref.length), ql, self.dtype)
 
     def row_prefix(self, ref_idx, count):

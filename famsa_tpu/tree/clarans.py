@@ -42,6 +42,9 @@ def clarans(dmat, n_elems, n_medoids, n_fixed_medoids, medoids,
         max_neighbor = max(int(explore_fraction * n_swaps), MIN_MAX_NEIGHBOR)
     corrected_max_neighbor = max_neighbor // n_medoids
 
+    from ..native import get_lib
+    lib = get_lib()
+
     candidate = list(range(n_elems))
     best_cost = _F32MAX
     best_candidate = None
@@ -67,45 +70,66 @@ def clarans(dmat, n_elems, n_medoids, n_fixed_medoids, medoids,
             assign_nearest[m] = -1
             assign_second[m] = -1
 
-        cur_cost = np.float32(0)
-        for xx in range(n_medoids, n_elems):
-            x = candidate[xx]
-            dn, ds, an, as_ = _update_assignment(x, candidate, n_medoids, dmat)
-            dists_nearest[x] = dn
-            dists_second[x] = ds
-            assign_nearest[x] = an
-            assign_second[x] = as_
-            cur_cost = np.float32(cur_cost + dn)
+        cand_arr = np.array(candidate, dtype=np.int64)
+        if lib is not None:
+            cur_cost = np.float32(lib.clarans_init(
+                dmat, n_elems, n_medoids, cand_arr, dists_nearest,
+                dists_second, assign_nearest, assign_second))
+        else:
+            cur_cost = np.float32(0)
+            for xx in range(n_medoids, n_elems):
+                x = candidate[xx]
+                dn, ds, an, as_ = _update_assignment(x, candidate, n_medoids, dmat)
+                dists_nearest[x] = dn
+                dists_second[x] = ds
+                assign_nearest[x] = an
+                assign_second[x] = as_
+                cur_cost = np.float32(cur_cost + dn)
 
         step = 0
         while step < corrected_max_neighbor:
             xx = det_uniform_int(gen_positions, n_medoids, n_elems - 1)
             x = candidate[xx]
 
-            deltas[:] = 0
+            if lib is not None:
+                cand_arr = np.array(candidate, dtype=np.int64)
+                lib.clarans_deltas(dmat, n_elems, n_medoids, xx, cand_arr,
+                                   dists_nearest, dists_second,
+                                   assign_nearest, deltas)
+            else:
+                deltas[:] = 0
+                for yy in range(n_medoids, n_elems):
+                    if yy == xx:
+                        continue
+                    y = candidate[yy]
+                    dxy = dmat[x, y]
+                    nn = assign_nearest[y]
+                    dn = dists_nearest[y]
+                    ds = dists_second[y]
 
-            for yy in range(n_medoids, n_elems):
-                if yy == xx:
-                    continue
-                y = candidate[yy]
-                dxy = dmat[x, y]
-                nn = assign_nearest[y]
-                dn = dists_nearest[y]
-                ds = dists_second[y]
-
-                change = np.float32(dxy - dn)
-                if change < 0:
-                    keep = np.float32(deltas[nn] + np.float32(min(dxy, ds) - dn))
-                    deltas += change
-                    deltas[nn] = keep
-                else:
-                    deltas[nn] = np.float32(deltas[nn] + np.float32(min(dxy, ds) - dn))
+                    change = np.float32(dxy - dn)
+                    if change < 0:
+                        keep = np.float32(deltas[nn] + np.float32(min(dxy, ds) - dn))
+                        deltas += change
+                        deltas[nn] = keep
+                    else:
+                        deltas[nn] = np.float32(deltas[nn] + np.float32(min(dxy, ds) - dn))
 
             mm_new = n_fixed_medoids + int(np.argmin(
                 deltas[n_fixed_medoids:n_medoids].astype(np.float64)))
             delta = deltas[mm_new]
 
-            if delta < 0:
+            if delta < 0 and lib is not None:
+                cand_arr = np.array(candidate, dtype=np.int64)
+                cur_cost = np.float32(lib.clarans_apply_swap(
+                    dmat, n_elems, n_medoids, xx, mm_new, cand_arr,
+                    dists_nearest, dists_second, assign_nearest,
+                    assign_second, cur_cost))
+                candidate[:] = cand_arr.tolist()
+                cur_candidate[mm_new], cur_candidate[xx] = (
+                    cur_candidate[xx], cur_candidate[mm_new])
+                step = 0
+            elif delta < 0:
                 candidate[mm_new], candidate[xx] = candidate[xx], candidate[mm_new]
                 m_new = candidate[mm_new]
 

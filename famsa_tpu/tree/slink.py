@@ -30,9 +30,14 @@ def slink_tree(n_seq, row_fn, tree):
     """row_fn(i) -> float64 distances from seq i to seqs 0..i-1.
 
     Appends n_seq-1 merge nodes to `tree`."""
+    from ..native import get_lib
+    lib = get_lib()
+
     pi = np.zeros(n_seq, dtype=np.int64)
     lam_d = np.full(n_seq, _DMAX, dtype=np.float64)
     lam_p = np.zeros(n_seq, dtype=np.uint64)
+
+    ids = np.arange(n_seq, dtype=np.uint64)
 
     for i in range(n_seq):
         pi[i] = i
@@ -40,11 +45,13 @@ def slink_tree(n_seq, row_fn, tree):
         lam_p[i] = 0
 
         loc = row_fn(i)
-        dv_d = np.empty(i, dtype=np.float64)
-        dv_p = np.empty(i, dtype=np.uint64)
-        dv_d[:] = loc[:i]
-        for j in range(i):
-            dv_p[j] = ids_to_uint64(j, i)
+        dv_d = np.ascontiguousarray(loc[:i], dtype=np.float64)
+        # packed tie-break ids: ids_to_uint64(j, i) with j < i
+        dv_p = (ids[:i] << np.uint64(32)) + np.uint64(i)
+
+        if lib is not None:
+            lib.slink_update_row(i, dv_d, dv_p, pi, lam_d, lam_p)
+            continue
 
         for j in range(i):
             nxt = pi[j]
