@@ -91,14 +91,17 @@ class Profile:
                 cols_parts.append(starts)
                 syms_parts.append(np.full(len(starts), GAP_OPEN, dtype=np.int64))
                 lens = n_gaps[run_idx]
-                ext_total = int((lens - 1).sum())
+                ext_counts = lens - 1
+                ext_total = int(ext_counts.sum())
                 if ext_total:
                     # columns starts+1 .. starts+len-1 get GAP_EXT
-                    ext_cols = np.concatenate([
-                        np.arange(int(s) + 1, int(s) + int(l), dtype=np.int64)
-                        for s, l in zip(starts, lens) if l > 1])
+                    # (segmented arange: repeat run base, add in-run offset)
+                    base = np.repeat(starts + 1, ext_counts)
+                    seg_start = np.repeat(np.cumsum(ext_counts) - ext_counts,
+                                          ext_counts)
+                    ext_cols = base + (np.arange(ext_total) - seg_start)
                     cols_parts.append(ext_cols)
-                    syms_parts.append(np.full(len(ext_cols), GAP_EXT, dtype=np.int64))
+                    syms_parts.append(np.full(ext_total, GAP_EXT, dtype=np.int64))
 
         cols = np.concatenate(cols_parts)
         syms = np.concatenate(syms_parts)
@@ -320,65 +323,62 @@ class Profile:
         n_gap_ext = int((n_symbols_col * n_gaps_col).sum())
         n_gap_term_ext = int((n_symbols_col * n_gaps_term_col).sum())
 
-        # gap run multiplicity matrix: gap_matrix[len][i] = #seqs with a run of
-        # exactly `len` gaps starting at column i (profile.cpp:1428-1452)
-        run_counts = {}
+        # gap run multiplicity: multiplicity of each distinct (len, start)
+        # run across member sequences (profile.cpp:1428-1452), vectorized:
+        # the run at gap-slot j starts at gapped position 1 + j + sum(n_gaps[:j])
+        keys = []
         for gs in self.data:
-            seq_pos = 1
             n_gaps = gs.n_gaps
-            for j in range(gs.size + 1):
-                gl = int(n_gaps[j])
-                if gl:
-                    key = (gl, seq_pos)
-                    run_counts[key] = run_counts.get(key, 0) + 1
-                    seq_pos += gl + 1
-                else:
-                    seq_pos += 1
+            idx = np.nonzero(n_gaps)[0]
+            if len(idx):
+                lens_r = n_gaps[idx]
+                pos_r = 1 + idx + (np.cumsum(n_gaps) - n_gaps)[idx]
+                keys.append(lens_r * (width + 2) + pos_r)
+        if keys:
+            all_keys, counts = np.unique(np.concatenate(keys), return_counts=True)
+            run_len = (all_keys // (width + 2)).astype(np.int64)
+            run_pos = (all_keys % (width + 2)).astype(np.int64)
+        else:
+            run_len = run_pos = counts = np.zeros(0, dtype=np.int64)
 
         # gap_ranges[s][i] = #runs contained in window [i, i+s-1]
         # (profile.cpp:1456-1501); rows computed iteratively.
-        gap_matrix_rows = {}
-        for (gl, i), cnt in run_counts.items():
-            row = gap_matrix_rows.setdefault(gl, {})
-            row[i] = cnt
+        gap_matrix = np.zeros((width + 1, width + 2), dtype=np.int64)
+        gap_matrix[run_len, run_pos] = counts
 
         gap_ranges = np.zeros((width + 1, width + 2), dtype=np.int64)
-        gm1 = gap_matrix_rows.get(1, {})
-        for i, cnt in gm1.items():
-            gap_ranges[1][i] = cnt
+        gap_ranges[1][1:width + 1] = gap_matrix[1][1:width + 1]
         if width >= 2:
-            gr2 = gap_ranges[2]
-            gr1 = gap_ranges[1]
-            gr2[1:width] = gr1[1:width] + gr1[2:width + 1]
-            for i, cnt in gap_matrix_rows.get(2, {}).items():
-                gr2[i] += cnt
+            gap_ranges[2][1:width] = (gap_ranges[1][1:width]
+                                      + gap_ranges[1][2:width + 1]
+                                      + gap_matrix[2][1:width])
         for ln in range(3, width + 1):
             hi = width - ln + 1
             if hi < 1:
                 break
-            dest = gap_ranges[ln]
-            dest[1:hi + 1] = (gap_ranges[ln - 1][1:hi + 1] + gap_ranges[ln - 1][2:hi + 2]
-                              - gap_ranges[ln - 2][2:hi + 2])
-            for i, cnt in gap_matrix_rows.get(ln, {}).items():
-                if i <= hi:
-                    dest[i] += cnt
+            gap_ranges[ln][1:hi + 1] = (
+                gap_ranges[ln - 1][1:hi + 1] + gap_ranges[ln - 1][2:hi + 2]
+                - gap_ranges[ln - 2][2:hi + 2] + gap_matrix[ln][1:hi + 1])
 
+        size = len(self.data)
         n_gap_open = 0
         n_gap_term_open = 0
-        size = len(self.data)
-        for (ln, i), cur in run_counts.items():
-            n_inside = int(gap_ranges[width][1])
-            if ln > 2:
-                n_inside += int(gap_ranges[ln - 2][i + 1])
-            if i + ln - 2 > 0:
-                n_inside -= int(gap_ranges[i + ln - 2][1])
-            if i + 1 <= width:
-                n_inside -= int(gap_ranges[width - i][i + 1])
+        if len(run_len):
+            ln = run_len
+            i0 = run_pos
+            cur = counts
+            n_inside = np.full(len(ln), int(gap_ranges[width][1]), dtype=np.int64)
+            m = ln > 2
+            n_inside[m] += gap_ranges[ln[m] - 2, i0[m] + 1]
+            m = i0 + ln - 2 > 0
+            n_inside[m] -= gap_ranges[i0[m] + ln[m] - 2, 1]
+            m = i0 + 1 <= width
+            n_inside[m] -= gap_ranges[width - i0[m], i0[m] + 1]
             n_inside -= cur
-            if i == 1 or i + ln - 1 == width:
-                n_gap_term_open += (size - cur - n_inside) * cur
-            else:
-                n_gap_open += (size - cur - n_inside) * cur
+            contrib = (size - cur - n_inside) * cur
+            term = (i0 == 1) | (i0 + ln - 1 == width)
+            n_gap_term_open = int(contrib[term].sum())
+            n_gap_open = int(contrib[~term].sum())
 
         n_gap_ext -= n_gap_open
         n_gap_term_ext -= n_gap_term_open
