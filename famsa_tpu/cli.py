@@ -1,11 +1,13 @@
 """FAMSA-compatible command-line interface (port of src/famsa.cpp)."""
 
 import sys
+import time
 
 from .core.io_service import load_fasta_records, save_alignment
 from .core.params import parse_args
 from .core.sequence import Sequence
 from .pipeline import align_profiles, compute_msa
+from .utils import logger
 
 
 def main(argv=None):
@@ -17,6 +19,12 @@ def main(argv=None):
         sys.stderr.write("Usage: famsa_tpu [options] <input_file> "
                          "[<input_file_2>] <output_file>\n")
         return 0
+
+    if params.verbose_mode or params.very_verbose_mode:
+        logger.enable(logger.LEVEL_VERBOSE)
+    if params.very_verbose_mode:
+        logger.enable(logger.LEVEL_DEBUG)
+    t_total = time.perf_counter()
 
     if params.profile_aligning:
         recs1 = load_fasta_records(params.input_file_name)
@@ -36,12 +44,27 @@ def main(argv=None):
         raise RuntimeError("No (or incorrect) input file.")
 
     sequences = [Sequence(rid, rseq, i) for i, (rid, rseq) in enumerate(records)]
+    n_input = len(sequences)
     result = compute_msa(params, sequences)
 
+    t_save = 0.0
     if result.alignment is not None:
+        t0 = time.perf_counter()
         save_alignment(params.output_file_name, result.alignment,
                        params.gzip_level if params.gzipped_output else -1,
                        params.rare_column_threshold if params.remove_rare_columns else 1.0)
+        t_save = time.perf_counter() - t0
+        result.statistics.put("alignment.length", result.alignment[0].gapped_size)
+
+    st = result.statistics
+    st.put("input.n_sequences", n_input)
+    st.put("time.save", t_save)
+    st.put("time.total", time.perf_counter() - t_total)
+    if params.verbose_mode or params.very_verbose_mode:
+        logger.verbose("\n\nStatistics:\n" + st.to_string())
+    if params.stats_file_name:
+        with open(params.stats_file_name, "w") as f:
+            f.write("[stats]\n" + st.to_string())
     return 0
 
 

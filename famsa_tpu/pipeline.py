@@ -8,6 +8,9 @@ import sys
 
 import numpy as np
 
+from .utils import logger
+from .utils.stats import Statistics, StopWatch
+
 from .core import params as P
 from .core.aligner import align_into
 from .core.defs import UNKNOWN_SYMBOL
@@ -177,7 +180,7 @@ class MSAResult:
     def __init__(self):
         self.alignment = None      # list[GappedSequence] in input order
         self.tree = None
-        self.statistics = {}
+        self.statistics = Statistics()
 
 
 def compute_msa(params, sequences):
@@ -196,11 +199,20 @@ def compute_msa(params, sequences):
         export_distances(params, sequences)
         return result
 
+    t_sort = StopWatch()
+    t_sort.start()
+    logger.verbose("Sorting sequences...", end="")
     sequences = sort_and_extend(sequences)
+    t_sort.stop()
+    logger.verbose(" [OK]")
     original2mapped = list(range(len(sequences)))
 
+    dups = 0
     if not params.keep_duplicates:
         mapped_seqs = remove_duplicates(sequences, original2mapped)
+        dups = len(sequences) - len(mapped_seqs)
+        logger.verbose(f"Duplicate removal... {len(mapped_seqs)}/{len(sequences)} "
+                       "sequences retained.")
     else:
         mapped_seqs = list(sequences)
 
@@ -212,12 +224,18 @@ def compute_msa(params, sequences):
     for i, s in enumerate(mapped_seqs):
         s.sequence_no = i
 
+    t_tree = StopWatch()
+    t_tree.start()
     if params.gt_method == P.GT_IMPORTED:
         # Newick import works in sorted-sequence space (msa.cpp:564-567)
+        logger.verbose(f"Importing guide tree from: {params.guide_tree_in_file}")
         tree.load_newick(params.guide_tree_in_file, [s.id for s in sequences])
         tree.to_unique(original2mapped, len(mapped_seqs))
     else:
+        logger.verbose("Computing guide tree...", end="")
         build_guide_tree(params, mapped_seqs, tree)
+        logger.verbose(" [OK]")
+    t_tree.stop()
 
     # shrink sequences back to true length (msa.cpp:574)
     for s in sequences:
@@ -227,8 +245,14 @@ def compute_msa(params, sequences):
 
     if params.export_tree:
         # tree store works in sorted-sequence space (msa.cpp:578-586)
+        t_store = StopWatch()
+        t_store.start()
         tree.from_unique(original2mapped)
         tree.save_newick(params.output_file_name, [s.id for s in sequences])
+        t_store.stop()
+        result.statistics.put("time.tree_store", t_store.elapsed)
+        result.statistics.put("time.sort", t_sort.elapsed)
+        result.statistics.put("time.tree_build", t_tree.elapsed)
         return result
 
     # gapped conversion (sorted order)
@@ -238,8 +262,19 @@ def compute_msa(params, sequences):
         if mapped_gapped[original2mapped[i]] is None:
             mapped_gapped[original2mapped[i]] = gs
 
+    t_align = StopWatch()
+    t_align.start()
+    logger.verbose("Computing alignment...", end="")
     final_profile = compute_alignment(params, mapped_gapped, tree.raw())
+    t_align.stop()
+    logger.verbose("[OK]")
+
+    t_refine = StopWatch()
+    t_refine.start()
+    logger.verbose("Computing refinement...", end="")
     final_profile = refine_alignment(final_profile, params, backend=params.backend)
+    t_refine.stop()
+    logger.verbose("[OK]")
 
     if final_profile.size() != len(mapped_gapped):
         raise RuntimeError("Error: incomplete guide tree - report a bug")
@@ -262,6 +297,17 @@ def compute_msa(params, sequences):
             ordered[current.original_no] = dup
 
     result.alignment = ordered
+    st = result.statistics
+    if params.very_verbose_mode:
+        sackin = tree.calculate_sackin_index()
+        st.put("guide_tree.sackin", sackin)
+        st.put("guide_tree.sackin_norm", sackin / float(len(gapped_sequences)))
+    st.put("input.n_duplicates", dups)
+    st.put("time.sort", t_sort.elapsed)
+    st.put("time.tree_build", t_tree.elapsed)
+    st.put("time.tree_store", 0.0)
+    st.put("time.alignment", t_align.elapsed)
+    st.put("time.refinement", t_refine.elapsed)
     return result
 
 

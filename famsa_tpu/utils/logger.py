@@ -1,0 +1,28 @@
+"""Three-level logger (reference src/utils/log.h: NORMAL/VERBOSE/DEBUG)."""
+
+import sys
+
+LEVEL_NORMAL, LEVEL_VERBOSE, LEVEL_DEBUG = 0, 1, 2
+_enabled = {LEVEL_NORMAL}
+
+
+def enable(level):
+    _enabled.add(level)
+
+
+def log(level, msg, end="\n"):
+    if level in _enabled:
+        sys.stderr.write(msg + end)
+        sys.stderr.flush()
+
+
+def normal(msg, end="\n"):
+    log(LEVEL_NORMAL, msg, end)
+
+
+def verbose(msg, end="\n"):
+    log(LEVEL_VERBOSE, msg, end)
+
+
+def debug(msg, end="\n"):
+    log(LEVEL_DEBUG, msg, end)
