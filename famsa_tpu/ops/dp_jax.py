@@ -95,9 +95,9 @@ def _gap_correction_arrays(counters, w, card):
             ct_ext.astype(np.int64), ct_te.astype(np.int64))
 
 
-@functools.partial(jax.jit, static_argnames=("w1p", "w2p"))
+@functools.partial(jax.jit, static_argnames=("w1p", "w2p", "unroll"))
 def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
-               card1, card2, gc1, gc2, gap_costs, w1p, w2p):
+               card1, card2, gc1, gc2, gap_costs, w1p, w2p, unroll=8):
     """counters/scores padded to [w1p+1, 32] / [w2p+1, 32] int64.
     gc1: [6, w1p+1]; gc2: [6, w2p+1]; gap_costs: (go, ge, gto, gte).
 
@@ -126,6 +126,7 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
     prevD = jnp.where(jj == 0, jnp.int64(0), NEG_INF)
     prevH = h0
     prevV = jnp.full(w2p + 1, NEG_INF)
+    last_col_mask = (jj == w2)   # static-shape alternative to Dfull[w2]
 
     dirs_row0 = jnp.where((jj >= 1), jnp.uint8(_H | (_H << 2) | (_H << 4)),
                           jnp.uint8(0))
@@ -222,11 +223,15 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         col0 = jnp.uint8(_V | (_V << 2) | (_V << 4))
         packed = jnp.concatenate([col0[None], packed])
 
-        return (Dfull, Hfull, Vfull), (packed,
-                                       Dfull[w2], Hfull[w2], Vfull[w2])
+        # loop-variant dynamic-slice per row is pathological on TPU; use a
+        # masked reduce to extract column w2 instead
+        lastD = jnp.where(last_col_mask, Dfull, NEG_INF).max()
+        lastH = jnp.where(last_col_mask, Hfull, NEG_INF).max()
+        lastV = jnp.where(last_col_mask, Vfull, NEG_INF).max()
+        return (Dfull, Hfull, Vfull), (packed, lastD, lastH, lastV)
 
     (_, _, _), (dirs, lastD, lastH, lastV) = jax.lax.scan(
-        row_step, (prevD, prevH, prevV), xs)
+        row_step, (prevD, prevH, prevV), xs, unroll=unroll)
 
     dirs_all = jnp.concatenate([dirs_row0[None], dirs], axis=0)
     return dirs_all, lastD[w1 - 1], lastH[w1 - 1], lastV[w1 - 1]
