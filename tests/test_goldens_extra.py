@@ -10,7 +10,7 @@ import pathlib
 
 import pytest
 
-from .test_goldens import REF, run_cli
+from test_goldens import REF, run_cli
 
 G = pathlib.Path(__file__).resolve().parent / "goldens_extra"
 ADENO = REF / "adeno_fiber" / "adeno_fiber"
