@@ -4,7 +4,12 @@ import os
 
 import numpy as np
 
-from .construct import construct_profile
+import os as _os
+
+if _os.environ.get("FAMSA_TPU_FAST_CONSTRUCT", "1") == "1":
+    from .construct_fast import construct_profile_fast as construct_profile
+else:
+    from .construct import construct_profile
 from .dp_native import dp_prof_prof, dp_seq_prof, dp_seq_seq
 from .profile import Profile
 
