@@ -7,13 +7,19 @@ sequence-profile constants, including tie-breaking, so the kernels are
 mathematically identical (verified by the parity test).
 
 Design (TPU-first):
- - per-row match scores t = scores2[:, :30] @ counters1[i, :30] (matvec);
+ - per-row match scores t = scores2[:, :30] . counters1[i, :30] as an
+   explicit mul+reduce (an s64 dot_general is rejected by the TPU X64
+   rewriter);
  - D and V channels are full-width vector ops off the previous row;
  - the H channel's intra-row dependency is a max-plus prefix scan
-   H[j] = B[j] + cummax(m[k] - B[k]), exact in int64;
+   H[j] = B[j] + cummax(m[k] - B[k]), exact in int64, implemented as a
+   log-depth Hillis-Steele scan (lax.cummax on s64 lowers pathologically);
  - lax.scan over rows emits a packed 2-bit x3 direction byte per cell
    (the reference CDPMatrix layout, profile.h:36-149);
- - shapes are bucketed (pad-and-mask) to bound recompilation.
+ - shapes are bucketed (pad-and-mask) to bound recompilation;
+ - the kernel takes NO traced scalars: traced scalar jit arguments
+   (w1/w2/cardinalities) pessimize the compiled TPU loop ~80x, so all
+   boundary logic is folded into host-precomputed arrays.
 
 Traceback stays on host (O(W), sequential).
 """
@@ -46,22 +52,24 @@ def _bucket(n):
 
 
 def _cummax_log(x):
-    """Inclusive max-scan, log-depth Hillis-Steele (exact for ints; avoids
-    the pathological TPU lowering of lax.cummax on s64)."""
-    n = x.shape[0]
+    """Inclusive max-scan, log-depth Hillis-Steele (exact for ints)."""
+    n = x.shape[-1]
     k = 1
     while k < n:
-        x = jnp.maximum(x, jnp.concatenate([jnp.full((k,), NEG_INF), x[:-k]]))
+        shifted = jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)],
+                          constant_values=NEG_INF)
+        x = jnp.maximum(x, shifted)
         k *= 2
     return x
 
 
 def _cumsum_log(x):
     """Inclusive add-scan, log-depth (exact for ints)."""
-    n = x.shape[0]
+    n = x.shape[-1]
     k = 1
     while k < n:
-        x = x + jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
+        shifted = jnp.pad(x[..., :-k], [(0, 0)] * (x.ndim - 1) + [(k, 0)])
+        x = x + shifted
         k *= 2
     return x
 
@@ -96,68 +104,40 @@ def _gap_correction_arrays(counters, w, card):
 
 
 @functools.partial(jax.jit, static_argnames=("w1p", "w2p", "unroll"))
-def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
-               card1, card2, gc1, gc2, gap_costs, w1p, w2p, unroll=8):
-    """counters/scores padded to [w1p+1, 32] / [w2p+1, 32] int64.
-    gc1: [6, w1p+1]; gc2: [6, w2p+1]; gap_costs: (go, ge, gto, gte).
+def _dp_kernel(col, xs, w1p, w2p, unroll=8):
+    """Scalar-free DP over bucketed shapes.
 
-    Returns (dirs_packed [w1p+1, w2p+1] uint8, last (D,H,V))."""
-    go, ge, gto, gte = gap_costs
+    col: dict of column-shaped arrays (loop constants):
+      s2_sym [w2p+1, 30], p2gaps [4, w2p+1], gaps2_change [w2p+1],
+      h0_row [w2p+1], last_col_mask [w2p+1] bool,
+      g2so/g2se/g2sto/g2ste/g2ce/g2cte [w2p] (columns 1..w2p).
+    xs: dict of per-row arrays (leading dim w1p) - see _prepare_inputs.
+
+    Returns (dirs [w1p+1, w2p+1] uint8 packed, lastD/H/V [w1p])."""
     jj = jnp.arange(w2p + 1)
-
-    s2_sym = scores2[:, :NO_AMINOACIDS_AND_GAPS]           # [w2p+1, 30]
-    p2o = scores2[:, GAP_OPEN]
-    p2e = scores2[:, GAP_EXT]
-    p2to = scores2[:, GAP_TERM_OPEN]
-    p2te = scores2[:, GAP_TERM_EXT]
+    s2_sym = col["s2_sym"]
+    p2o, p2e, p2to, p2te = col["p2gaps"]
+    gaps2_change = col["gaps2_change"]
+    h0_row = col["h0_row"]
+    last_col_mask = col["last_col_mask"]
+    g2so, g2se, g2sto, g2ste = col["g2so"], col["g2se"], col["g2sto"], col["g2ste"]
+    g2ce, g2cte = col["g2ce"], col["g2cte"]
 
     dge_go = p2e - p2o
     dgte_gto = p2te - p2to
-    gaps2_change = (counters2[:, GAP_OPEN] * (ge - go)
-                    + counters2[:, GAP_TERM_OPEN] * (gte - gto))
 
-    gc2_sto, gc2_ste, gc2_stto, gc2_stte, gc2_cte, gc2_ctte = gc2
-
-    # row 0 boundary (profile_seq.cpp:555-579)
-    h0 = jnp.where(jj == 1, p2to[1] * card1, p2te * card1)
-    h0 = jnp.concatenate([jnp.zeros(1, jnp.int64), _cumsum_log(h0[1:])])
-    h0 = jnp.where(jj == 0, NEG_INF, h0)
-    h0 = jnp.where(jj == w2, NEG_INF, h0)
     prevD = jnp.where(jj == 0, jnp.int64(0), NEG_INF)
-    prevH = h0
+    prevH = h0_row
     prevV = jnp.full(w2p + 1, NEG_INF)
-    last_col_mask = (jj == w2)   # static-shape alternative to Dfull[w2]
 
     dirs_row0 = jnp.where((jj >= 1), jnp.uint8(_H | (_H << 2) | (_H << 4)),
                           jnp.uint8(0))
-
-    c1_sym = counters1[:, :NO_AMINOACIDS_AND_GAPS]
-    col1nng = counters1[:, :NO_AMINOACIDS].sum(axis=1)
-    n1_change = counters1[:, GAP_OPEN]
-    n1_term_change = counters1[:, GAP_TERM_OPEN]
-    s1go = scores1[:, GAP_OPEN]
-    s1ge = scores1[:, GAP_EXT]
-    s1gto = scores1[:, GAP_TERM_OPEN]
-    s1gte = scores1[:, GAP_TERM_EXT]
-    gc1_sto, gc1_ste, gc1_stto, gc1_stte, gc1_cte, gc1_ctte = gc1
-
-    ii = jnp.arange(1, w1p + 1)
-    xs = dict(
-        i=ii,
-        c1=c1_sym[1:],
-        col1nng=col1nng[1:],
-        n1c=n1_change[1:], n1tc=n1_term_change[1:],
-        s1go=s1go[1:], s1ge=s1ge[1:], s1gto=s1gto[1:], s1gte=s1gte[1:],
-        g1so=gc1_sto[1:], g1se=gc1_ste[1:], g1sto=gc1_stto[1:],
-        g1ste=gc1_stte[1:], g1ce=gc1_cte[1:], g1cte=gc1_ctte[1:],
-    )
+    j_gt1 = jj[1:] > 1
 
     def row_step(carry, x):
         pD, pH, pV = carry
-        i = x["i"]
 
-        # match scores for this row: [w2p+1]; explicit mul+reduce (an s64
-        # dot_general is not supported by the TPU X64 rewriter)
+        # match scores for this row: [w2p+1]
         t = (s2_sym * x["c1"][None, :]).sum(axis=1)
 
         # ---- D channel ----
@@ -170,12 +150,12 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         D_ = jnp.where(pickD, tD, jnp.where(pickH, tH, tV))
         dD = jnp.where(pickD, _D, jnp.where(pickH, _H, _V)).astype(jnp.uint8)
 
-        three = (i > 1) & (jj[1:] > 1)
+        three = x["i_gt1"] & j_gt1
 
         # ---- V channel ----
-        gv_s = (x["s1go"] * gc2_sto[1:] + x["s1ge"] * gc2_ste[1:]
-                + x["s1gto"] * gc2_stto[1:] + x["s1gte"] * gc2_stte[1:])
-        gv_c = x["s1ge"] * gc2_cte[1:] + x["s1gte"] * gc2_ctte[1:]
+        gv_s = (x["s1go"] * g2so + x["s1ge"] * g2se
+                + x["s1gto"] * g2sto + x["s1gte"] * g2ste)
+        gv_c = x["s1ge"] * g2ce + x["s1gte"] * g2cte
         tD = pD[1:] + gv_s
         tV = pV[1:] + gv_c
         tH = pH[1:] + gv_s
@@ -184,20 +164,17 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         v3 = jnp.where(pickD3, tD, jnp.where(pickH3, tH, tV))
         d3 = jnp.where(pickD3, _D, jnp.where(pickH3, _H, _V)).astype(jnp.uint8)
         pickD2 = tD > tV
-        v2 = jnp.where(pickD2, tD, tV)
-        d2 = jnp.where(pickD2, _D, _V).astype(jnp.uint8)
-        V_ = jnp.where(three, v3, v2)
-        dV = jnp.where(three, d3, d2)
+        V_ = jnp.where(three, v3, jnp.where(pickD2, tD, tV))
+        dV = jnp.where(three, d3,
+                       jnp.where(pickD2, _D, _V).astype(jnp.uint8))
 
-        # boundary col 0
-        lt_w1 = i < w1
-        v_b0 = jnp.maximum(pD[0], pV[0]) + jnp.where(
-            i == 1, x["s1gto"] * card2, x["s1gte"] * card2)
-        V0 = jnp.where(lt_w1, v_b0, NEG_INF)
+        # boundary col 0 (i<w1 / i==1 folded into v0_on / v0_cost)
+        V0 = jnp.where(x["v0_on"],
+                       jnp.maximum(pD[0], pV[0]) + x["v0_cost"], NEG_INF)
         Dfull = jnp.concatenate([jnp.array([NEG_INF]), D_])
         Vfull = jnp.concatenate([V0[None], V_])
 
-        # ---- H channel (prefix scan) ----
+        # ---- H channel (max-plus prefix scan) ----
         gh_s = (p2o[1:] * x["g1so"] + p2e[1:] * x["g1se"]
                 + p2to[1:] * x["g1sto"] + p2te[1:] * x["g1ste"])
         gh_c = p2e[1:] * x["g1ce"] + p2te[1:] * x["g1cte"]
@@ -216,15 +193,12 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         pickV3 = (~pickD3) & (tV > tH)
         h3 = jnp.where(pickD3, _D, jnp.where(pickV3, _V, _H)).astype(jnp.uint8)
         pickD2 = tD > tH
-        h2 = jnp.where(pickD2, _D, _H).astype(jnp.uint8)
-        dH = jnp.where(three, h3, h2)
+        dH = jnp.where(three, h3, jnp.where(pickD2, _D, _H).astype(jnp.uint8))
 
         packed = (dD | (dH << 2) | (dV << 4)).astype(jnp.uint8)
         col0 = jnp.uint8(_V | (_V << 2) | (_V << 4))
         packed = jnp.concatenate([col0[None], packed])
 
-        # loop-variant dynamic-slice per row is pathological on TPU; use a
-        # masked reduce to extract column w2 instead
         lastD = jnp.where(last_col_mask, Dfull, NEG_INF).max()
         lastH = jnp.where(last_col_mask, Hfull, NEG_INF).max()
         lastV = jnp.where(last_col_mask, Vfull, NEG_INF).max()
@@ -234,17 +208,16 @@ def _dp_kernel(counters1, scores1, counters2, scores2, w1, w2,
         row_step, (prevD, prevH, prevV), xs, unroll=unroll)
 
     dirs_all = jnp.concatenate([dirs_row0[None], dirs], axis=0)
-    return dirs_all, lastD[w1 - 1], lastH[w1 - 1], lastV[w1 - 1]
+    return dirs_all, lastD, lastH, lastV
 
 
 class JaxDPResult:
     __slots__ = ("dirs_D", "dirs_H", "dirs_V", "last")
 
 
-def dp_profile_jax(params, profile1, profile2):
-    """Unguided prof-prof / seq-prof DP on the JAX backend."""
+def _prepare_inputs(params, profile1, profile2, w1p, w2p):
+    """Host-side precomputes; returns (col, xs) dicts of numpy arrays."""
     w1, w2 = profile1.width, profile2.width
-    w1p, w2p = _bucket(w1), _bucket(w2)
     card1, card2 = len(profile1.data), len(profile2.data)
 
     def pad(a, wp):
@@ -257,21 +230,110 @@ def dp_profile_jax(params, profile1, profile2):
     c2 = pad(profile2.counters, w2p)
     s2 = pad(profile2.scores, w2p)
 
-    gc1 = np.stack(_gap_correction_arrays(c1, w1, card1))
-    gc2 = np.stack(_gap_correction_arrays(c2, w2, card2))
+    g1so, g1se, g1sto, g1ste, g1ce, g1cte = _gap_correction_arrays(c1, w1, card1)
+    g2so, g2se, g2sto, g2ste, g2ce, g2cte = _gap_correction_arrays(c2, w2, card2)
 
-    gap_costs = (np.int64(params.gap_open), np.int64(params.gap_ext),
-                 np.int64(params.gap_term_open), np.int64(params.gap_term_ext))
+    p2gaps = np.stack([s2[:, GAP_OPEN], s2[:, GAP_EXT],
+                       s2[:, GAP_TERM_OPEN], s2[:, GAP_TERM_EXT]])
+    gaps2_change = (c2[:, GAP_OPEN] * (params.gap_ext - params.gap_open)
+                    + c2[:, GAP_TERM_OPEN] * (params.gap_term_ext - params.gap_term_open))
+
+    jjn = np.arange(w2p + 1)
+    # row 0 boundary (profile_seq.cpp:555-579)
+    h0 = np.where(jjn == 1, p2gaps[2][1] * card1, p2gaps[3] * card1)
+    h0 = np.concatenate([[0], np.cumsum(h0[1:])])
+    h0 = np.where((jjn == 0) | (jjn == w2), NEG_INF, h0).astype(np.int64)
+
+    ii = np.arange(1, w1p + 1)
+    s1go = s1[1:, GAP_OPEN]
+    s1ge = s1[1:, GAP_EXT]
+    s1gto = s1[1:, GAP_TERM_OPEN]
+    s1gte = s1[1:, GAP_TERM_EXT]
+
+    col = dict(
+        s2_sym=s2[:, :NO_AMINOACIDS_AND_GAPS],
+        p2gaps=p2gaps,
+        gaps2_change=gaps2_change,
+        h0_row=h0,
+        last_col_mask=(jjn == w2),
+        g2so=g2so[1:], g2se=g2se[1:], g2sto=g2sto[1:], g2ste=g2ste[1:],
+        g2ce=g2ce[1:], g2cte=g2cte[1:],
+    )
+    xs = dict(
+        c1=c1[1:, :NO_AMINOACIDS_AND_GAPS],
+        col1nng=c1[1:, :NO_AMINOACIDS].sum(axis=1),
+        n1c=c1[1:, GAP_OPEN], n1tc=c1[1:, GAP_TERM_OPEN],
+        s1go=s1go, s1ge=s1ge, s1gto=s1gto, s1gte=s1gte,
+        g1so=g1so[1:], g1se=g1se[1:], g1sto=g1sto[1:],
+        g1ste=g1ste[1:], g1ce=g1ce[1:], g1cte=g1cte[1:],
+        i_gt1=(ii > 1),
+        v0_on=(ii < w1),
+        v0_cost=np.where(ii == 1, s1gto * card2, s1gte * card2).astype(np.int64),
+    )
+    return col, xs
+
+
+def dp_profile_jax(params, profile1, profile2):
+    """Unguided prof-prof / seq-prof DP on the JAX backend."""
+    w1 = profile1.width
+    w1p, w2p = _bucket(w1), _bucket(profile2.width)
+    col, xs = _prepare_inputs(params, profile1, profile2, w1p, w2p)
 
     dirs, lastD, lastH, lastV = _dp_kernel(
-        jnp.asarray(c1), jnp.asarray(s1), jnp.asarray(c2), jnp.asarray(s2),
-        np.int64(w1), np.int64(w2), np.int64(card1), np.int64(card2),
-        jnp.asarray(gc1), jnp.asarray(gc2), gap_costs, w1p, w2p)
+        jax.tree_util.tree_map(jnp.asarray, col),
+        jax.tree_util.tree_map(jnp.asarray, xs), w1p, w2p)
 
     dirs = np.asarray(dirs)
     res = JaxDPResult()
     res.dirs_D = (dirs & 3).astype(np.uint8)
     res.dirs_H = ((dirs >> 2) & 3).astype(np.uint8)
     res.dirs_V = ((dirs >> 4) & 3).astype(np.uint8)
-    res.last = (int(lastD), int(lastH), int(lastV))
+    res.last = (int(np.asarray(lastD)[w1 - 1]), int(np.asarray(lastH)[w1 - 1]),
+                int(np.asarray(lastV)[w1 - 1]))
     return res
+
+
+# ----------------------------------------------------------------------
+# Batched independent merges: vmap over the merge axis amortizes scan
+# iteration overhead and device dispatch across a whole tree level.
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("w1p", "w2p", "unroll"))
+def _dp_kernel_batched(col, xs, w1p, w2p, unroll=8):
+    kern = functools.partial(_dp_kernel.__wrapped__, w1p=w1p, w2p=w2p,
+                             unroll=unroll)
+    return jax.vmap(kern)(col, xs)
+
+
+def dp_profile_jax_batched(params, pairs):
+    """pairs: list of (profile1, profile2) with identical bucket shapes.
+
+    Returns list of JaxDPResult."""
+    w1p = max(_bucket(p1.width) for p1, _ in pairs)
+    w2p = max(_bucket(p2.width) for _, p2 in pairs)
+    cols = []
+    xss = []
+    for p1, p2 in pairs:
+        c, x = _prepare_inputs(params, p1, p2, w1p, w2p)
+        cols.append(c)
+        xss.append(x)
+    col_b = {k: jnp.asarray(np.stack([c[k] for c in cols])) for k in cols[0]}
+    xs_b = {k: jnp.asarray(np.stack([x[k] for x in xss])) for k in xss[0]}
+
+    dirs, lastD, lastH, lastV = _dp_kernel_batched(col_b, xs_b, w1p, w2p)
+    dirs = np.asarray(dirs)
+    lastD = np.asarray(lastD)
+    lastH = np.asarray(lastH)
+    lastV = np.asarray(lastV)
+
+    out = []
+    for k, (p1, p2) in enumerate(pairs):
+        res = JaxDPResult()
+        d = dirs[k]
+        res.dirs_D = (d & 3).astype(np.uint8)
+        res.dirs_H = ((d >> 2) & 3).astype(np.uint8)
+        res.dirs_V = ((d >> 4) & 3).astype(np.uint8)
+        w1 = p1.width
+        res.last = (int(lastD[k][w1 - 1]), int(lastH[k][w1 - 1]),
+                    int(lastV[k][w1 - 1]))
+        out.append(res)
+    return out

@@ -60,3 +60,27 @@ def test_dp_jax_matches_numpy(n1, n2, w1, w2):
     assert np.array_equal(ref.dirs_D[:w1r + 1, :w2r + 1], got.dirs_D[:w1r + 1, :w2r + 1])
     assert np.array_equal(ref.dirs_H[1:w1r + 1, 1:w2r + 1], got.dirs_H[1:w1r + 1, 1:w2r + 1])
     assert np.array_equal(ref.dirs_V[1:w1r + 1, 1:w2r + 1], got.dirs_V[1:w1r + 1, 1:w2r + 1])
+
+
+def test_dp_jax_batched_matches_single():
+    from famsa_tpu.ops.dp_jax import dp_profile_jax, dp_profile_jax_batched
+
+    rng = np.random.default_rng(99)
+    params = Params()
+    params.adjust(50)
+
+    pairs = []
+    for k in range(4):
+        p1 = _make_profile(rng, params, 2 + k, 30 + 7 * k)
+        p2 = _make_profile(rng, params, 3, 45 + 5 * k)
+        pairs.append((p1, p2))
+
+    singles = [dp_profile_jax(params, p1, p2) for p1, p2 in pairs]
+    batched = dp_profile_jax_batched(params, pairs)
+
+    for s, b, (p1, p2) in zip(singles, batched, pairs):
+        assert s.last == b.last
+        w1, w2 = p1.width, p2.width
+        assert np.array_equal(s.dirs_D[:w1 + 1, :w2 + 1], b.dirs_D[:w1 + 1, :w2 + 1])
+        assert np.array_equal(s.dirs_H[1:w1 + 1, 1:w2 + 1], b.dirs_H[1:w1 + 1, 1:w2 + 1])
+        assert np.array_equal(s.dirs_V[1:w1 + 1, 1:w2 + 1], b.dirs_V[1:w1 + 1, 1:w2 + 1])
