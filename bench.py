@@ -4,14 +4,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: DP cell updates per second of the fused profile-alignment kernel
-(famsa_tpu/ops/dp_jax.py) on a 2048x2048 merge of 64-sequence profiles -
-the hot loop of progressive MSA (reference profile_seq.cpp:495-892).
+(famsa_tpu/ops/dp_jax.py) on a batch of 2048x2048 merges of 64-sequence
+profiles - the hot loop of progressive MSA (reference
+profile_seq.cpp:495-892).  The batched variant reflects the production
+schedule (independent tree merges are vmapped into one launch).
 
 Baseline: the reference FAMSA 2.5.0 AVX2 build measured on this host
 (2 threads): 1.713e8 cell updates/s (famsa -gt import sl.dnd
--refine_mode off on adeno_fiber: 7,473,478 DP cells / 0.043625 s
-time.alignment).  If /tmp/refbuild/bin/famsa exists, the baseline is
-re-measured live.
+-refine_mode off on adeno_fiber: 7,473,478 DP cells / time.alignment).
+If /tmp/refbuild/bin/famsa exists, the baseline is re-measured live.
 """
 
 import json
@@ -48,12 +49,31 @@ def measure_baseline():
     return FALLBACK_BASELINE
 
 
+def _random_profile(rng, params, n_seqs, n_cols):
+    """Small random gapped profile (same generator as the parity tests)."""
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.core.sequence import encode_gapped
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    p = Profile(params)
+    for k in range(n_seqs):
+        chars = []
+        for _ in range(n_cols):
+            if rng.random() < 0.15:
+                chars.append('-')
+            else:
+                chars.append(aa[rng.integers(0, 20)])
+        if all(c == '-' for c in chars):
+            chars[0] = 'A'
+        p.append_raw_sequence(encode_gapped(f">s{k}", "".join(chars), k))
+    p.calculate_counters_scores()
+    return p
+
+
 def main():
     import jax
-    import jax.numpy as jnp
 
     from famsa_tpu.core.params import Params
-    from famsa_tpu.ops.dp_jax import _bucket, _dp_kernel, _gap_correction_arrays
+    from famsa_tpu.ops.dp_jax import dp_profile_jax_batched
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -61,43 +81,30 @@ def main():
     params.adjust(1000)
     rng = np.random.default_rng(0)
 
-    w1 = w2 = 2048
-    card = 64
-    w1p, w2p = _bucket(w1), _bucket(w2)
+    w = int(os.environ.get("BENCH_W", "2048"))
+    card = int(os.environ.get("BENCH_CARD", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
 
-    def fake_profile(wp, w):
-        counters = np.zeros((wp + 1, 32), dtype=np.int64)
-        counters[1:w + 1, :20] = rng.multinomial(card, np.full(20, 0.05), size=w)
-        scores = rng.integers(-10**8, 10**8, size=(wp + 1, 32)).astype(np.int64)
-        return counters, scores
-
-    c1, s1 = fake_profile(w1p, w1)
-    c2, s2 = fake_profile(w2p, w2)
-    gc1 = np.stack(_gap_correction_arrays(c1, w1, card))
-    gc2 = np.stack(_gap_correction_arrays(c2, w2, card))
-    gap_costs = (np.int64(params.gap_open), np.int64(params.gap_ext),
-                 np.int64(params.gap_term_open), np.int64(params.gap_term_ext))
-
-    args = (jnp.asarray(c1), jnp.asarray(s1), jnp.asarray(c2), jnp.asarray(s2),
-            np.int64(w1), np.int64(w2), np.int64(card), np.int64(card),
-            jnp.asarray(gc1), jnp.asarray(gc2), gap_costs)
+    pairs = [( _random_profile(rng, params, card, w),
+               _random_profile(rng, params, card, w)) for _ in range(batch)]
 
     # warmup / compile
-    out = _dp_kernel(*args, w1p=w1p, w2p=w2p)
-    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    dp_profile_jax_batched(params, pairs)
+    print(f"compile+first run: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = _dp_kernel(*args, w1p=w1p, w2p=w2p)
-        # force completion incl. result materialization (tunnel-proof)
-        _ = np.asarray(out[1])
+        out = dp_profile_jax_batched(params, pairs)   # materializes results
     dt = (time.perf_counter() - t0) / n_iter
 
-    cells = w1p * w2p
+    from famsa_tpu.ops.dp_jax import _bucket
+    wp = _bucket(pairs[0][0].width)
+    cells = batch * wp * _bucket(pairs[0][1].width)
     rate = cells / dt
-    print(f"dp kernel: {w1p}x{w2p} in {dt*1e3:.2f} ms -> {rate:.3e} cells/s",
-          file=sys.stderr)
+    print(f"dp kernel: batch={batch} x {wp}^2 in {dt*1e3:.2f} ms -> "
+          f"{rate:.3e} cells/s", file=sys.stderr)
 
     baseline = measure_baseline()
     print(f"baseline (reference famsa, this host): {baseline:.3e} cells/s",

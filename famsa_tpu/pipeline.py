@@ -141,8 +141,13 @@ def compute_alignment(params, gapped_sequences, tree_list):
     """Progressive alignment up the guide tree (msa.cpp:360-438).
 
     gapped_sequences: list of GappedSequence for leaves (mapped order).
-    The scheduler is a level-batched topological sweep; any topological
-    order yields identical output because each merge is deterministic."""
+    Any topological order yields identical output because each merge is
+    deterministic; with the jax backend, independent merges of a level are
+    batched into single vmapped device launches (the TPU analog of the
+    reference's CProfileQueue task parallelism, queues.cpp:66-124)."""
+    if params.backend == "jax" and len(gapped_sequences) > 2:
+        return _compute_alignment_batched(params, gapped_sequences, tree_list)
+
     n = len(gapped_sequences)
     profiles = {}
     ref_thr = params.thr_internal_refinement
@@ -173,6 +178,110 @@ def compute_alignment(params, gapped_sequences, tree_list):
         return Profile.from_gapped_sequence(gapped_sequences[0], params)
     assert len(profiles) == 1
     return profiles.popitem()[1]
+
+
+def _compute_alignment_batched(params, gapped_sequences, tree_list):
+    """Level-synchronous schedule: big ready merges are grouped by bucket
+    shape and dispatched as one vmapped device kernel; small merges run on
+    the native host DP."""
+    import os
+
+    from .core.aligner import _JAX_MIN_CELLS, align_into_with_result
+    from .ops.dp_jax import _bucket, dp_profile_jax_batched
+
+    max_batch = int(os.environ.get("FAMSA_TPU_MAX_BATCH", "8"))
+    n = len(gapped_sequences)
+    ref_thr = params.thr_internal_refinement
+
+    children = {}
+    n_pending = {}
+    ready = []
+    done = {}
+    for node_id in range(n, len(tree_list)):
+        a, b = tree_list[node_id]
+        children[node_id] = (a, b)
+        pend = (a >= n) + (b >= n)
+        n_pending[node_id] = pend
+        if pend == 0:
+            ready.append(node_id)
+
+    parent_of = {}
+    for node_id, (a, b) in children.items():
+        parent_of[a] = node_id
+        parent_of[b] = node_id
+
+    def get_profile(child):
+        if child < n:
+            return Profile.from_gapped_sequence(gapped_sequences[child], params)
+        return done.pop(child)
+
+    while ready:
+        batch_nodes = ready
+        ready = []
+
+        tasks = []
+        for node_id in batch_nodes:
+            a, b = children[node_id]
+            prof1 = get_profile(a)
+            prof2 = get_profile(b)
+            if ref_thr and prof1.size() + prof2.size() > ref_thr:
+                if 2 < prof1.size() <= ref_thr:
+                    prof1 = refine_alignment(prof1, params, backend=params.backend)
+                if 2 < prof2.size() <= ref_thr:
+                    prof2 = refine_alignment(prof2, params, backend=params.backend)
+            if prof1.counters is None:
+                prof1.calculate_counters_scores()
+            if prof2.counters is None:
+                prof2.calculate_counters_scores()
+            tasks.append((node_id, prof1, prof2))
+
+        # split into device-worthy (dispatch-ordered like CProfile::Align)
+        # and host tasks
+        device = []
+        host = []
+        for node_id, p1, p2 in tasks:
+            if (p1.width * p2.width >= _JAX_MIN_CELLS
+                    and p1.size() + p2.size() > 2):
+                device.append((node_id, p1, p2))
+            else:
+                host.append((node_id, p1, p2))
+
+        for node_id, p1, p2 in host:
+            dest = Profile(params)
+            align_into(dest, p1, p2, backend="numpy")
+            done[node_id] = dest
+
+        # group device tasks by bucket pair after the reference's operand
+        # swap rule (nnz1*w2 < nnz2*w1)
+        groups = {}
+        for node_id, p1, p2 in device:
+            nnz1 = int(np.count_nonzero(p1.counters))
+            nnz2 = int(np.count_nonzero(p2.counters))
+            if not (nnz1 * p2.width < nnz2 * p1.width):
+                p1, p2 = p2, p1
+            key = (_bucket(p1.width), _bucket(p2.width))
+            groups.setdefault(key, []).append((node_id, p1, p2))
+
+        from .core.construct_dispatch import construct_profile_dispatch
+        for key, items in groups.items():
+            for k0 in range(0, len(items), max_batch):
+                chunk = items[k0:k0 + max_batch]
+                results = dp_profile_jax_batched(
+                    params, [(p1, p2) for _, p1, p2 in chunk])
+                for (node_id, p1, p2), res in zip(chunk, results):
+                    dest = Profile(params)
+                    construct_profile_dispatch(dest, p1, p2, res)
+                    done[node_id] = dest
+
+        for node_id in batch_nodes:
+            parent = parent_of.get(node_id)
+            if parent is not None:
+                n_pending[parent] -= 1
+                if n_pending[parent] == 0:
+                    ready.append(parent)
+
+    assert len(done) == 1
+    return done.popitem()[1]
 
 
 # ----------------------------------------------------------------------
