@@ -186,7 +186,8 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     the native host DP."""
     import os
 
-    from .core.aligner import _JAX_MIN_CELLS, align_into_with_result
+    from .core.aligner import _JAX_MIN_CELLS
+    from .core.aligner import construct_profile as _construct
     from .ops.dp_jax import _bucket, dp_profile_jax_batched
 
     max_batch = int(os.environ.get("FAMSA_TPU_MAX_BATCH", "8"))
@@ -262,7 +263,6 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
             key = (_bucket(p1.width), _bucket(p2.width))
             groups.setdefault(key, []).append((node_id, p1, p2))
 
-        from .core.construct_dispatch import construct_profile_dispatch
         for key, items in groups.items():
             for k0 in range(0, len(items), max_batch):
                 chunk = items[k0:k0 + max_batch]
@@ -270,7 +270,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     params, [(p1, p2) for _, p1, p2 in chunk])
                 for (node_id, p1, p2), res in zip(chunk, results):
                     dest = Profile(params)
-                    construct_profile_dispatch(dest, p1, p2, res)
+                    _construct(dest, p1, p2, res)
                     done[node_id] = dest
 
         for node_id in batch_nodes:
