@@ -273,13 +273,19 @@ def _prepare_inputs(params, profile1, profile2, w1p, w2p):
     return col, xs
 
 
+_USE_PAIR_KERNEL = True   # i32-pair scan body (x64 pass is pathological)
+
+
 def dp_profile_jax(params, profile1, profile2):
     """Unguided prof-prof / seq-prof DP on the JAX backend."""
+    import famsa_tpu.ops.i64pair as P
+
     w1 = profile1.width
     w1p, w2p = _bucket(w1), _bucket(profile2.width)
     col, xs = _prepare_inputs(params, profile1, profile2, w1p, w2p)
 
-    dirs, lastD, lastH, lastV = _dp_kernel(
+    kern = _dp_kernel_pairs if _USE_PAIR_KERNEL else _dp_kernel
+    dirs, lastD, lastH, lastV = kern(
         jax.tree_util.tree_map(jnp.asarray, col),
         jax.tree_util.tree_map(jnp.asarray, xs), w1p, w2p)
 
@@ -288,8 +294,14 @@ def dp_profile_jax(params, profile1, profile2):
     res.dirs_D = (dirs & 3).astype(np.uint8)
     res.dirs_H = ((dirs >> 2) & 3).astype(np.uint8)
     res.dirs_V = ((dirs >> 4) & 3).astype(np.uint8)
-    res.last = (int(np.asarray(lastD)[w1 - 1]), int(np.asarray(lastH)[w1 - 1]),
-                int(np.asarray(lastV)[w1 - 1]))
+    if _USE_PAIR_KERNEL:
+        res.last = (int(P.to_i64(*lastD)[w1 - 1]),
+                    int(P.to_i64(*lastH)[w1 - 1]),
+                    int(P.to_i64(*lastV)[w1 - 1]))
+    else:
+        res.last = (int(np.asarray(lastD)[w1 - 1]),
+                    int(np.asarray(lastH)[w1 - 1]),
+                    int(np.asarray(lastV)[w1 - 1]))
     return res
 
 
@@ -299,7 +311,8 @@ def dp_profile_jax(params, profile1, profile2):
 # ----------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("w1p", "w2p", "unroll"))
 def _dp_kernel_batched(col, xs, w1p, w2p, unroll=8):
-    kern = functools.partial(_dp_kernel.__wrapped__, w1p=w1p, w2p=w2p,
+    base = _dp_kernel_pairs if _USE_PAIR_KERNEL else _dp_kernel
+    kern = functools.partial(base.__wrapped__, w1p=w1p, w2p=w2p,
                              unroll=unroll)
     return jax.vmap(kern)(col, xs)
 
@@ -321,9 +334,15 @@ def dp_profile_jax_batched(params, pairs):
 
     dirs, lastD, lastH, lastV = _dp_kernel_batched(col_b, xs_b, w1p, w2p)
     dirs = np.asarray(dirs)
-    lastD = np.asarray(lastD)
-    lastH = np.asarray(lastH)
-    lastV = np.asarray(lastV)
+    if _USE_PAIR_KERNEL:
+        from . import i64pair as P
+        lastD = P.to_i64(*lastD)
+        lastH = P.to_i64(*lastH)
+        lastV = P.to_i64(*lastV)
+    else:
+        lastD = np.asarray(lastD)
+        lastH = np.asarray(lastH)
+        lastV = np.asarray(lastV)
 
     out = []
     for k, (p1, p2) in enumerate(pairs):
@@ -337,3 +356,151 @@ def dp_profile_jax_batched(params, pairs):
                     int(lastV[k][w1 - 1]))
         out.append(res)
     return out
+
+
+# ----------------------------------------------------------------------
+# Pair-arithmetic kernel: the scan body runs entirely in native i32/u32
+# (hi, lo) pairs (see ops/i64pair.py) - the XLA x64 legalizer shredded the
+# s64 loop body into ~400 unfused micro-kernels.  The seven per-cell cost
+# matrices are built in s64 OUTSIDE the loop (one-time fused computation)
+# and streamed through the scan as pair rows.
+# ----------------------------------------------------------------------
+from . import i64pair as _P
+
+
+@functools.partial(jax.jit, static_argnames=("w1p", "w2p", "unroll"))
+def _dp_kernel_pairs(col, xs, w1p, w2p, unroll=4):
+    """Same contract as _dp_kernel; scan body in (hi,lo) i32 pairs."""
+    jj = jnp.arange(w2p + 1)
+    s2_sym = col["s2_sym"]
+    p2o, p2e, p2to, p2te = col["p2gaps"]
+    gaps2_change = col["gaps2_change"]
+    h0_row = col["h0_row"]
+    last_col_mask = col["last_col_mask"]
+
+    # ---- one-time s64 cost matrices (outside the loop) ----
+    # match scores: [w1p, w2p+1] via mul+reduce (no s64 dot_general)
+    t_full = (xs["c1"][:, None, :] * s2_sym[None, :, :]).sum(-1)
+    delta = (xs["n1c"][:, None] * (p2e - p2o)[None, 1:]
+             + xs["n1tc"][:, None] * (p2te - p2to)[None, 1:])
+    tvx = gaps2_change[None, 1:] * xs["col1nng"][:, None]
+    tmD = t_full[:, 1:]
+    tmH = tmD + delta
+    tmV = tmD + tvx
+    gvs = (xs["s1go"][:, None] * col["g2so"][None, :]
+           + xs["s1ge"][:, None] * col["g2se"][None, :]
+           + xs["s1gto"][:, None] * col["g2sto"][None, :]
+           + xs["s1gte"][:, None] * col["g2ste"][None, :])
+    gvc = (xs["s1ge"][:, None] * col["g2ce"][None, :]
+           + xs["s1gte"][:, None] * col["g2cte"][None, :])
+    ghs = (p2o[None, 1:] * xs["g1so"][:, None]
+           + p2e[None, 1:] * xs["g1se"][:, None]
+           + p2to[None, 1:] * xs["g1sto"][:, None]
+           + p2te[None, 1:] * xs["g1ste"][:, None])
+    ghc = (p2e[None, 1:] * xs["g1ce"][:, None]
+           + p2te[None, 1:] * xs["g1cte"][:, None])
+
+    def sp(x):
+        return _P.from_i64(x)
+
+    xs_scan = dict(
+        tmD=sp(tmD), tmH=sp(tmH), tmV=sp(tmV),
+        gvs=sp(gvs), gvc=sp(gvc), ghs=sp(ghs), ghc=sp(ghc),
+        i_gt1=xs["i_gt1"], v0_on=xs["v0_on"], v0_cost=sp(xs["v0_cost"]),
+    )
+
+    NEG = int(NEG_INF)
+    neg_pair_full = _P.const(NEG, (w2p + 1,))
+    neg_pair_1 = _P.const(NEG, (1,))
+
+    prevD = _P.from_i64(jnp.where(jj == 0, jnp.int64(0), NEG_INF))
+    prevH = _P.from_i64(h0_row)
+    prevV = neg_pair_full
+
+    dirs_row0 = jnp.where((jj >= 1), jnp.uint8(_H | (_H << 2) | (_H << 4)),
+                          jnp.uint8(0))
+    j_gt1 = jj[1:] > 1
+
+    def head(a):
+        return (a[0][:-1], a[1][:-1])
+
+    def tail(a):
+        return (a[0][1:], a[1][1:])
+
+    def row_step(carry, x):
+        pD, pH, pV = carry
+
+        # ---- D channel ----
+        tD = _P.add(head(pD), x["tmD"])
+        tH = _P.add(head(pH), x["tmH"])
+        tV = _P.add(head(pV), x["tmV"])
+        gDH = _P.gt(tD, tH)
+        gDV = _P.gt(tD, tV)
+        gHV = _P.gt(tH, tV)
+        pickD = gDH & gDV
+        pickH = (~pickD) & gHV
+        D_ = _P.where(pickD, tD, _P.where(pickH, tH, tV))
+        dD = jnp.where(pickD, _D, jnp.where(pickH, _H, _V)).astype(jnp.uint8)
+
+        three = x["i_gt1"] & j_gt1
+
+        # ---- V channel ----
+        tD = _P.add(tail(pD), x["gvs"])
+        tV = _P.add(tail(pV), x["gvc"])
+        tH = _P.add(tail(pH), x["gvs"])
+        gDH = _P.gt(tD, tH)
+        gDV = _P.gt(tD, tV)
+        gHV = _P.gt(tH, tV)
+        pickD3 = gDH & gDV
+        pickH3 = (~pickD3) & gHV
+        v3 = _P.where(pickD3, tD, _P.where(pickH3, tH, tV))
+        d3 = jnp.where(pickD3, _D, jnp.where(pickH3, _H, _V)).astype(jnp.uint8)
+        pickD2 = gDV
+        V_ = _P.where(three, v3, _P.where(pickD2, tD, tV))
+        dV = jnp.where(three, d3,
+                       jnp.where(pickD2, _D, _V).astype(jnp.uint8))
+
+        # boundary col 0
+        p0 = (pD[0][:1], pD[1][:1])
+        v0 = (pV[0][:1], pV[1][:1])
+        vb = _P.add(_P.maximum(p0, v0), (x["v0_cost"][0][None],
+                                         x["v0_cost"][1][None]))
+        V0 = _P.where(x["v0_on"][None], vb, neg_pair_1)
+        Dfull = _P.concat([neg_pair_1, D_])
+        Vfull = _P.concat([V0, V_])
+
+        # ---- H channel (max-plus prefix scan) ----
+        m0 = _P.add(head(Dfull), x["ghs"])
+        mv = _P.add(head(Vfull), x["ghs"])
+        m = _P.where(three, _P.maximum(m0, mv), m0)
+        bc = _P.cumsum_log(x["ghc"])
+        run = _P.cummax_log(_P.sub(m, bc), NEG)
+        negc = _P.const(NEG, run[0].shape)
+        H_ = _P.add(bc, _P.maximum(run, negc))
+        Hfull = _P.concat([neg_pair_1, H_])
+
+        tD = m0
+        tH = _P.add(head(Hfull), x["ghc"])
+        tV = mv
+        gDH = _P.gt(tD, tH)
+        gDV = _P.gt(tD, tV)
+        gVH = _P.gt(tV, tH)
+        pickD3 = gDH & gDV
+        pickV3 = (~pickD3) & gVH
+        h3 = jnp.where(pickD3, _D, jnp.where(pickV3, _V, _H)).astype(jnp.uint8)
+        dH = jnp.where(three, h3, jnp.where(gDH, _D, _H).astype(jnp.uint8))
+
+        packed = (dD | (dH << 2) | (dV << 4)).astype(jnp.uint8)
+        col0 = jnp.uint8(_V | (_V << 2) | (_V << 4))
+        packed = jnp.concatenate([col0[None], packed])
+
+        lastD = _P.masked_max(Dfull, last_col_mask, NEG)
+        lastH = _P.masked_max(Hfull, last_col_mask, NEG)
+        lastV = _P.masked_max(Vfull, last_col_mask, NEG)
+        return (Dfull, Hfull, Vfull), (packed, lastD, lastH, lastV)
+
+    (_, _, _), (dirs, lastD, lastH, lastV) = jax.lax.scan(
+        row_step, (prevD, prevH, prevV), xs_scan, unroll=unroll)
+
+    dirs_all = jnp.concatenate([dirs_row0[None], dirs], axis=0)
+    return dirs_all, lastD, lastH, lastV
