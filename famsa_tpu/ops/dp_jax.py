@@ -380,7 +380,11 @@ def _dp_kernel_pairs(col, xs, w1p, w2p, unroll=4):
 
     # ---- one-time s64 cost matrices (outside the loop) ----
     # match scores: [w1p, w2p+1] via mul+reduce (no s64 dot_general)
-    t_full = (xs["c1"][:, None, :] * s2_sym[None, :, :]).sum(-1)
+    # accumulate 30 outer products (materializing [w1p, w2p, 30] pads to
+    # ~28GB on TPU; this form keeps intermediates at [w1p, w2p+1])
+    t_full = xs["c1"][:, 0, None] * s2_sym[None, :, 0]
+    for _s in range(1, NO_AMINOACIDS_AND_GAPS):
+        t_full = t_full + xs["c1"][:, _s, None] * s2_sym[None, :, _s]
     delta = (xs["n1c"][:, None] * (p2e - p2o)[None, 1:]
              + xs["n1tc"][:, None] * (p2te - p2to)[None, 1:])
     tvx = gaps2_change[None, 1:] * xs["col1nng"][:, None]

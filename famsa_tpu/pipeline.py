@@ -110,8 +110,13 @@ def build_guide_tree(params, sequences, tree: GuideTree):
         be = get_distance_backend(sequences, measure, np.float64, backend)
         slink_tree(n, lambda i: be.row_prefix(i, i), tree_list)
     elif params.gt_method == P.GT_MST_PRIM:
-        be = get_distance_backend(sequences, measure, np.float64, backend)
-        mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list)
+        if backend == "jax" and measure == P.DIST_INDEL075_DIV_LCS:
+            # whole-tree Prim in one device program (ops/prim_device.py)
+            from .ops.prim_device import mst_prim_tree_device
+            mst_prim_tree_device(sequences, tree_list)
+        else:
+            be = get_distance_backend(sequences, measure, np.float64, backend)
+            mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list)
     elif params.gt_method in (P.GT_UPGMA, P.GT_UPGMA_MODIFIED):
         be = get_distance_backend(sequences, measure, np.float32, backend)
         dmat = upgma_distance_matrix(n, lambda i: be.row_prefix(i, i))
