@@ -310,7 +310,7 @@ def dp_profile_jax(params, profile1, profile2):
 # iteration overhead and device dispatch across a whole tree level.
 # ----------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("w1p", "w2p", "unroll"))
-def _dp_kernel_batched(col, xs, w1p, w2p, unroll=8):
+def _dp_kernel_batched(col, xs, w1p, w2p, unroll=1):
     base = _dp_kernel_pairs if _USE_PAIR_KERNEL else _dp_kernel
     kern = functools.partial(base.__wrapped__, w1p=w1p, w2p=w2p,
                              unroll=unroll)
