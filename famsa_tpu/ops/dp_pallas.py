@@ -1,0 +1,438 @@
+"""Pallas/Mosaic profile-alignment DP kernel.
+
+The lax.scan row loop of ops/dp_jax.py dispatches one XLA loop iteration
+per DP row; on TPU each iteration costs ~0.6 ms regardless of width (the
+x64 legalizer shreds the body into hundreds of unfused u32 micro-kernels),
+capping the kernel at ~1e7 cells/s.  This module runs the ENTIRE row loop
+inside one Mosaic kernel:
+
+ - stage 1 (XLA, fused, outside the loop): the seven per-cell cost
+   matrices exactly as _dp_kernel_pairs builds them (match scores via the
+   30-symbol contraction, gap-correction outer products - reference
+   profile_seq.cpp:495-892, profile.cpp:1223-1315), split into
+   (hi:int32, lo:int32-bits-of-u32) pairs;
+ - stage 2 (Pallas): grid over (merge-group, row-block); the D/H/V rows
+   live in VMEM scratch across sequential grid steps; the H channel's
+   intra-row dependency is the max-plus prefix scan H = bc + cummax(m-bc)
+   done log-depth in-kernel; packed 2-bit x3 direction rows stream out.
+   All arithmetic is native i32 pairs (Mosaic rejects s64); unsigned lo
+   compares use the sign-bit-xor trick.
+ - sublane batching: SB=8 independent merges ride the sublane dimension
+   so every VPU op runs on full (8, 128) vregs; SB=1 is the single-merge
+   fallback (1/8 sublane utilization, still far faster than the scan).
+
+Bit-exact vs core/dp.py (tests/test_dp_pallas.py runs this kernel in
+interpreter mode on CPU).
+"""
+
+import functools
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.defs import INFTY, NO_AMINOACIDS_AND_GAPS
+from .dp_jax import JaxDPResult, _bucket, _prepare_inputs
+
+NEG = np.int64(-INFTY)
+
+
+def _lo32(x):
+    v = int(np.int64(x)) & 0xFFFFFFFF
+    return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+
+NEG_HI = np.int32(np.int64(NEG) >> np.int64(32))
+NEG_LO = _lo32(NEG)
+MIN32 = np.int32(-2147483648)
+_D, _H, _V = 0, 1, 2
+COL0_PACK = _V | (_V << 2) | (_V << 4)          # 42
+ROW0_PACK = _H | (_H << 2) | (_H << 4)          # 21
+
+LANE_PAD = 128     # extra lanes so lane j == DP column j (lane 0 = col 0)
+
+
+def _pallas_bucket(w):
+    return max(128, _bucket(w))
+
+
+def _row_block(sb, w2pe):
+    """Rows per grid step, sized so double-buffered matrix blocks fit VMEM."""
+    for blk in (128, 64, 32, 16, 8, 4, 2, 1):
+        if 14 * blk * sb * w2pe * 4 * 2 <= 9 * 1024 * 1024:
+            return blk
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# i64 as (hi:i32, lo:i32 holding the u32 bit pattern)
+# ---------------------------------------------------------------------------
+def _ult(a, b):
+    return (a ^ MIN32) < (b ^ MIN32)
+
+
+def p_add(x, y):
+    lo = x[1] + y[1]
+    carry = _ult(lo, x[1]).astype(jnp.int32)
+    return (x[0] + y[0] + carry, lo)
+
+
+def p_sub(x, y):
+    lo = x[1] - y[1]
+    borrow = _ult(x[1], y[1]).astype(jnp.int32)
+    return (x[0] - y[0] - borrow, lo)
+
+
+def p_gt(x, y):
+    return (x[0] > y[0]) | ((x[0] == y[0]) & _ult(y[1], x[1]))
+
+
+def p_where(c, x, y):
+    return (jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
+
+
+def p_max(x, y):
+    return p_where(p_gt(x, y), x, y)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+def _make_kernel(sb, blk, w2pe):
+    def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref,
+               tmDh, tmDl, tmHh, tmHl, tmVh, tmVl,
+               gvsh, gvsl, gvch, gvcl, ghsh, ghsl, ghch, ghcl,
+               dirs_ref, fin_ref, prev_ref):
+        i = pl.program_id(1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (sb, w2pe), 1)
+        c_D, c_H, c_V = jnp.int32(_D), jnp.int32(_H), jnp.int32(_V)
+        neg = (jnp.full((sb, w2pe), NEG_HI, jnp.int32),
+               jnp.full((sb, w2pe), NEG_LO, jnp.int32))
+        fin_col = jax.lax.broadcasted_iota(jnp.int32, (sb, 8), 1)
+
+        def shf(x):
+            """lane j <- lane j-1; lane 0 <- -inf (the 'head' alignment)."""
+            return (jnp.where(lane == 0, NEG_HI, jnp.roll(x[0], 1, axis=1)),
+                    jnp.where(lane == 0, NEG_LO, jnp.roll(x[1], 1, axis=1)))
+
+        def p_cumsum(x):
+            h, l = x
+            k = 1
+            while k < w2pe:
+                hs = jnp.where(lane >= k, jnp.roll(h, k, axis=1), jnp.int32(0))
+                ls = jnp.where(lane >= k, jnp.roll(l, k, axis=1), jnp.int32(0))
+                h, l = p_add((h, l), (hs, ls))
+                k *= 2
+            return h, l
+
+        def p_cummax(x):
+            h, l = x
+            k = 1
+            while k < w2pe:
+                hs = jnp.where(lane >= k, jnp.roll(h, k, axis=1), jnp.int32(NEG_HI))
+                ls = jnp.where(lane >= k, jnp.roll(l, k, axis=1), jnp.int32(NEG_LO))
+                h, l = p_max((h, l), (hs, ls))
+                k *= 2
+            return h, l
+
+        @pl.when(i == 0)
+        def _():
+            z = jnp.zeros((sb, w2pe), jnp.int32)  # i32 everywhere: Mosaic has no s64
+            prev_ref[0:sb, :] = jnp.where(lane == 0, z, neg[0])
+            prev_ref[sb:2 * sb, :] = jnp.where(lane == 0, z, neg[1])
+            prev_ref[2 * sb:3 * sb, :] = h0hi_ref[0, :, :]
+            prev_ref[3 * sb:4 * sb, :] = h0lo_ref[0, :, :]
+            prev_ref[4 * sb:5 * sb, :] = neg[0]
+            prev_ref[5 * sb:6 * sb, :] = neg[1]
+
+        w1m1 = w1m1_ref[0, :, :].reshape(sb, 1)       # per-merge true w1-1
+        lastm = lastm_ref[0, :, :] != 0
+
+        carry0 = ((prev_ref[0:sb, :], prev_ref[sb:2 * sb, :]),
+                  (prev_ref[2 * sb:3 * sb, :], prev_ref[3 * sb:4 * sb, :]),
+                  (prev_ref[4 * sb:5 * sb, :], prev_ref[5 * sb:6 * sb, :]))
+
+        def row_body(r, carry):
+            pD, pH, pV = carry
+            glob_r = i * np.int32(blk) + r
+
+            def mrow(ref):
+                return ref[0, r, :, :]                # [sb, w2pe]
+
+            tmD = (mrow(tmDh), mrow(tmDl))
+            tmH = (mrow(tmHh), mrow(tmHl))
+            tmV = (mrow(tmVh), mrow(tmVl))
+            gvs = (mrow(gvsh), mrow(gvsl))
+            gvc = (mrow(gvch), mrow(gvcl))
+            ghs = (mrow(ghsh), mrow(ghsl))
+            ghc = (mrow(ghch), mrow(ghcl))
+
+            # ---- D channel (previous row, col j-1) ----
+            hD, hH, hV = shf(pD), shf(pH), shf(pV)
+            tDd = p_add(hD, tmD)
+            tHd = p_add(hH, tmH)
+            tVd = p_add(hV, tmV)
+            pickD = p_gt(tDd, tHd) & p_gt(tDd, tVd)
+            pickH = (~pickD) & p_gt(tHd, tVd)
+            D = p_where(pickD, tDd, p_where(pickH, tHd, tVd))
+            dD = jnp.where(pickD, c_D, jnp.where(pickH, c_H, c_V))
+            D = p_where(lane == 0, neg, D)
+
+            three = (glob_r >= 1) & (lane >= 2)
+
+            # ---- V channel (previous row, same col) ----
+            tDv = p_add(pD, gvs)
+            tVv = p_add(pV, gvc)
+            tHv = p_add(pH, gvs)
+            pickD3 = p_gt(tDv, tHv) & p_gt(tDv, tVv)
+            pickH3 = (~pickD3) & p_gt(tHv, tVv)
+            v3 = p_where(pickD3, tDv, p_where(pickH3, tHv, tVv))
+            d3 = jnp.where(pickD3, c_D, jnp.where(pickH3, c_H, c_V))
+            pickD2 = p_gt(tDv, tVv)
+            V = p_where(three, v3, p_where(pickD2, tDv, tVv))
+            dV = jnp.where(three, d3, jnp.where(pickD2, c_D, c_V))
+
+            # col-0 boundary: V0 = max(pD0, pV0) + v0_cost while row+1 < w1
+            # (v0_cost rides in lane 0 of gvc, which is dead otherwise)
+            V0vec = p_add(p_max(pD, pV), gvc)
+            von = glob_r < w1m1                                # [sb, 1]
+            Vb = p_where(von, V0vec, neg)
+            V = p_where(lane == 0, Vb, V)
+
+            # ---- H channel: max-plus prefix scan along the row ----
+            mD = p_add(shf(D), ghs)
+            mV = p_add(shf(V), ghs)
+            m = p_where(three, p_max(mD, mV), mD)
+            bc = p_cumsum(ghc)
+            run = p_cummax(p_sub(m, bc))
+            H = p_add(bc, p_max(run, neg))
+            H = p_where(lane == 0, neg, H)
+
+            tHh2 = p_add(shf(H), ghc)
+            pickD3h = p_gt(mD, tHh2) & p_gt(mD, mV)
+            pickV3h = (~pickD3h) & p_gt(mV, tHh2)
+            h3 = jnp.where(pickD3h, c_D, jnp.where(pickV3h, c_V, c_H))
+            dH = jnp.where(three, h3, jnp.where(p_gt(mD, tHh2), c_D, c_H))
+
+            packed = dD | (dH << 2) | (dV << 4)
+            packed = jnp.where(lane == 0, jnp.int32(COL0_PACK), packed)
+            dirs_ref[0, r, :, :] = packed
+
+            # last-column (col w2 per merge) values for this row
+            def pick(ch):
+                return (jnp.sum(jnp.where(lastm, ch[0], jnp.int32(0)), axis=1,
+                                dtype=jnp.int32),
+                        jnp.sum(jnp.where(lastm, ch[1], jnp.int32(0)), axis=1,
+                                dtype=jnp.int32))
+
+            fD, fH, fV = pick(D), pick(H), pick(V)
+            z32 = jnp.int32(0)
+            fin = (jnp.where(fin_col == 0, fD[0][:, None], z32)
+                   + jnp.where(fin_col == 1, fD[1][:, None], z32)
+                   + jnp.where(fin_col == 2, fH[0][:, None], z32)
+                   + jnp.where(fin_col == 3, fH[1][:, None], z32)
+                   + jnp.where(fin_col == 4, fV[0][:, None], z32)
+                   + jnp.where(fin_col == 5, fV[1][:, None], z32))
+            fin_ref[0, r, :, :] = fin
+            return (D, H, V)
+
+        D, H, V = jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk),
+                                    row_body, carry0)
+        prev_ref[0:sb, :] = D[0]
+        prev_ref[sb:2 * sb, :] = D[1]
+        prev_ref[2 * sb:3 * sb, :] = H[0]
+        prev_ref[3 * sb:4 * sb, :] = H[1]
+        prev_ref[4 * sb:5 * sb, :] = V[0]
+        prev_ref[5 * sb:6 * sb, :] = V[1]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# stage 1 + pallas_call wrapper (one jit = one device dispatch)
+# ---------------------------------------------------------------------------
+def _split(x):
+    return ((x >> np.int64(32)).astype(jnp.int32), x.astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
+def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
+    """colp/xs: stacked arrays with leading dims [G, sb, ...] (G groups of
+    sb merges).  Returns (dirs u8 [G*sb, w1p+1, w2p+1],
+    finals i32 [G, w1p, sb, 8])."""
+    w2pe = w2p + LANE_PAD
+    g = colp["s2"].shape[0]
+
+    def outer(rowv, colv):
+        # rowv [G, sb, w1p] x colv [G, sb, w2pe] -> [G, w1p, sb, w2pe]
+        return (rowv.transpose(0, 2, 1)[:, :, :, None]
+                * colv[:, None, :, :])
+
+    c1 = xs["c1"]                     # [G, sb, w1p, 30]
+    s2 = colp["s2"]                   # [G, sb, w2pe, 30]
+    t = outer(c1[..., 0], s2[..., 0])
+    for s in range(1, NO_AMINOACIDS_AND_GAPS):
+        t = t + outer(c1[..., s], s2[..., s])
+
+    p2o, p2e = colp["p2gaps"][..., 0], colp["p2gaps"][..., 1]
+    p2to, p2te = colp["p2gaps"][..., 2], colp["p2gaps"][..., 3]
+    tmH = t + outer(xs["n1c"], p2e - p2o) + outer(xs["n1tc"], p2te - p2to)
+    tmV = t + outer(xs["col1nng"], colp["gaps2_change"])
+    gvs = (outer(xs["s1go"], colp["g2so"]) + outer(xs["s1ge"], colp["g2se"])
+           + outer(xs["s1gto"], colp["g2sto"])
+           + outer(xs["s1gte"], colp["g2ste"]))
+    gvc = outer(xs["s1ge"], colp["g2ce"]) + outer(xs["s1gte"], colp["g2cte"])
+    # v0_cost (col-0 V boundary, per row) rides in the dead lane 0 of gvc
+    v0t = xs["v0_cost"].transpose(0, 2, 1)            # [G, w1p, sb]
+    lane0m = (jnp.arange(w2pe) == 0)[None, None, None, :]
+    gvc = jnp.where(lane0m, v0t[:, :, :, None], gvc)
+    ghs = (outer(xs["g1so"], p2o) + outer(xs["g1se"], p2e)
+           + outer(xs["g1sto"], p2to) + outer(xs["g1ste"], p2te))
+    ghc = outer(xs["g1ce"], p2e) + outer(xs["g1cte"], p2te)
+    lane0 = (jnp.arange(w2pe) == 0)[None, None, None, :]
+    ghc = jnp.where(lane0, jnp.int64(0), ghc)
+
+    mats = []
+    for a in (t, tmH, tmV, gvs, gvc, ghs, ghc):
+        hi, lo = _split(a)
+        mats.append(hi)
+        mats.append(lo)
+
+    h0hi, h0lo = _split(colp["h0"])               # [G, sb, w2pe]
+    lastm = colp["last_col_mask"].astype(jnp.int32)
+    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]   # [G, 1, sb]
+
+    grid = (g, w1p // blk)
+
+    def bm(bs, im):
+        return pl.BlockSpec(bs, im, memory_space=pltpu.VMEM)
+
+    z0 = np.int32(0)   # index maps must stay i32: x64 literals break Mosaic
+    mat_spec = bm((1, blk, sb, w2pe), lambda b, i: (b, i, z0, z0))
+    in_specs = [
+        bm((1, 1, sb), lambda b, i: (b, z0, z0)),     # w1m1
+        bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0hi
+        bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0lo
+        bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # lastm
+    ] + [mat_spec] * 14
+
+    out_shape = [
+        jax.ShapeDtypeStruct((g, w1p, sb, w2pe), jnp.int32),   # dirs
+        jax.ShapeDtypeStruct((g, w1p, sb, 8), jnp.int32),      # finals
+    ]
+    out_specs = [
+        bm((1, blk, sb, w2pe), lambda b, i: (b, i, z0, z0)),
+        bm((1, blk, sb, 8), lambda b, i: (b, i, z0, z0)),
+    ]
+
+    dirs_i32, fins = pl.pallas_call(
+        _make_kernel(sb, blk, w2pe),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((6 * sb, w2pe), jnp.int32)],
+        interpret=interpret,
+    )(w1m1, h0hi, h0lo, lastm, *mats)
+
+    # [G, w1p, sb, w2pe] -> [G*sb, w1p+1, w2p+1] u8 with the constant row 0
+    dirs = dirs_i32[..., :w2p + 1].astype(jnp.uint8)
+    dirs = dirs.transpose(0, 2, 1, 3).reshape(g * sb, w1p, w2p + 1)
+    jj = jnp.arange(w2p + 1)
+    row0 = jnp.where(jj >= 1, jnp.uint8(ROW0_PACK), jnp.uint8(0))
+    row0 = jnp.broadcast_to(row0, (g * sb, 1, w2p + 1))
+    dirs = jnp.concatenate([row0, dirs], axis=1)
+    return dirs, fins
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation
+# ---------------------------------------------------------------------------
+def _prepare_pallas(params, p1, p2, w1p, w2p):
+    """numpy dicts for one merge: colp (column-shaped, lane j == col j) and
+    xs (per-row, padded to w1p)."""
+    col, xs = _prepare_inputs(params, p1, p2, w1p, w2p)
+    w2pe = w2p + LANE_PAD
+
+    def padc(a, fill=0):
+        out = np.full((w2pe,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:a.shape[0]] = a
+        return out
+
+    def shift1(a):
+        out = np.zeros(w2pe, dtype=a.dtype)
+        out[1:1 + a.shape[0]] = a
+        return out
+
+    colp = dict(
+        s2=padc(col["s2_sym"]),                      # [w2pe, 30]
+        p2gaps=padc(col["p2gaps"].T.copy()),         # [w2pe, 4]
+        gaps2_change=padc(col["gaps2_change"]),
+        h0=padc(col["h0_row"], fill=NEG),
+        last_col_mask=padc(col["last_col_mask"]).astype(np.int64),
+        g2so=shift1(col["g2so"]), g2se=shift1(col["g2se"]),
+        g2sto=shift1(col["g2sto"]), g2ste=shift1(col["g2ste"]),
+        g2ce=shift1(col["g2ce"]), g2cte=shift1(col["g2cte"]),
+    )
+    xsp = dict(
+        c1=xs["c1"], col1nng=xs["col1nng"], n1c=xs["n1c"], n1tc=xs["n1tc"],
+        s1go=xs["s1go"], s1ge=xs["s1ge"], s1gto=xs["s1gto"],
+        s1gte=xs["s1gte"],
+        g1so=xs["g1so"], g1se=xs["g1se"], g1sto=xs["g1sto"],
+        g1ste=xs["g1ste"], g1ce=xs["g1ce"], g1cte=xs["g1cte"],
+        v0_cost=xs["v0_cost"],
+        w1m1=np.int64(p1.width - 1),
+    )
+    return colp, xsp
+
+
+def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):
+    """pairs: list of (p1, p2); same contract as dp_profile_jax_batched."""
+    n = len(pairs)
+    if sb is None:
+        sb = 8 if n >= 5 else 1
+    w1p = max(_pallas_bucket(p1.width) for p1, _ in pairs)
+    w2p = max(_pallas_bucket(p2.width) for _, p2 in pairs)
+    w2pe = w2p + LANE_PAD
+    blk = _row_block(sb, w2pe)
+
+    g = (n + sb - 1) // sb
+    colps, xsps = [], []
+    for k in range(g * sb):
+        p1, p2 = pairs[min(k, n - 1)]
+        c, x = _prepare_pallas(params, p1, p2, w1p, w2p)
+        colps.append(c)
+        xsps.append(x)
+
+    def stack(ds):
+        return {k: jnp.asarray(
+            np.stack([d[k] for d in ds]).reshape((g, sb) + np.shape(ds[0][k])))
+            for k in ds[0]}
+
+    dirs, fins = _dp_pallas(stack(colps), stack(xsps), sb, blk, w1p, w2p,
+                            interpret=interpret)
+    dirs = np.asarray(dirs)
+    fins = np.asarray(fins)
+
+    out = []
+    for k, (p1, p2) in enumerate(pairs):
+        gi, si = k // sb, k % sb
+        res = JaxDPResult()
+        d = dirs[k]
+        res.dirs_D = (d & 3).astype(np.uint8)
+        res.dirs_H = ((d >> 2) & 3).astype(np.uint8)
+        res.dirs_V = ((d >> 4) & 3).astype(np.uint8)
+        f = fins[gi, p1.width - 1, si].astype(np.int64)
+
+        def join(hi, lo):
+            return int((hi << np.int64(32)) | (lo & np.int64(0xFFFFFFFF)))
+
+        res.last = (join(f[0], f[1]), join(f[2], f[3]), join(f[4], f[5]))
+        out.append(res)
+    return out

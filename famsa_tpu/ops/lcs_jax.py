@@ -2,10 +2,18 @@
 
 TPU-native layout: 32-bit words (TPU integer ALUs are 32-bit native), the
 N query sequences ride the vector lanes, and the word-axis carry chain of
-the Hyyro update runs as a short lax.scan.  One device launch computes a
-full (ref x N-queries) LCS batch; results are bit-identical to the scalar
+the Hyyro update runs as a short unrolled loop.  One device launch computes
+a full (ref x N-queries) LCS batch; results are bit-identical to the scalar
 reference kernel (famsa_tpu/ops/lcs.py) because the update is exact integer
 arithmetic at any word size.
+
+Symmetric-LCS layout flip: instead of building the REFERENCE's per-symbol
+masks and streaming every query's symbols (which needs an [N]-vector gather
+from the mask table at every position - pathologically slow on TPU), we
+build the per-symbol masks of ALL QUERIES once as a [32, N, W] table and
+stream the reference's symbols: each position then needs only table[sym],
+a scalar-indexed slice.  LCS is symmetric, and symbols >= 20 are no-ops on
+either side (zero mask rows / zero mask bits), so results are unchanged.
 
 Reference semantics: /root/reference/src/lcs/lcsbp_classic.h:49-221.
 """
@@ -34,33 +42,50 @@ def build_bit_masks32(data: np.ndarray, data_size: int) -> np.ndarray:
     return masks
 
 
+def build_query_mask_table(padded: np.ndarray) -> np.ndarray:
+    """[NO_SYMBOLS, N, W] uint32 per-symbol occupancy masks of all rows of
+    `padded` ([N, L] int8, pad symbol >= 20); rows >= 20 stay zero."""
+    n, lmax = padded.shape
+    w = (lmax + BV32 - 1) // BV32
+    table = np.zeros((NO_SYMBOLS, n, w), dtype=np.uint32)
+    sym = padded.astype(np.int64)
+    t = np.arange(lmax)
+    words = t // BV32
+    bits = (np.uint32(1) << (t % BV32).astype(np.uint32))
+    rows, cols = np.nonzero((sym >= 0) & (sym < NO_VALID_AMINOACIDS))
+    np.bitwise_or.at(table, (sym[rows, cols], rows, words[cols]), bits[cols])
+    return table
+
+
+def hyyro_step(x, sb, n, w):
+    """One position of the bit-parallel LCS update across N lanes."""
+    carry = jnp.zeros((n,), jnp.uint32)
+    cols = []
+    for k in range(w):
+        v = x[:, k]
+        tb = v & sb[:, k]
+        v2 = v + tb + carry
+        carry = (v2 < v).astype(jnp.uint32)
+        cols.append(v2 | (v - tb))
+    return jnp.stack(cols, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("unroll",))
-def lcs_kernel(masks, queries, unroll=1):
-    """masks: [NO_SYMBOLS, W] uint32; queries: [N, L] int32.
+def lcs_kernel(table, ref_syms, unroll=1):
+    """table: [NO_SYMBOLS, N, W] uint32 query masks; ref_syms: [L] int32.
 
-    Returns [N] int32 LCS lengths.  Symbols without reference masks
-    (codes >= 20, incl. UNKNOWN padding) are no-ops by construction.
-
-    The word-axis carry ripple is a static Python loop (bv_len is small and
-    known at trace time); the position axis is a lax.scan."""
-    n, length = queries.shape
-    w = masks.shape[1]
+    Returns [N] int32 LCS lengths of the streamed reference sequence vs
+    every query.  Pad/invalid symbols (>= 20) index zero mask rows and are
+    no-ops by construction."""
+    _, n, w = table.shape
 
     x0 = jnp.full((n, w), jnp.uint32(0xFFFFFFFF))
 
-    def pos_step(x, syms):
-        sb = masks[syms]                        # [N, W] gather
-        carry = jnp.zeros((n,), jnp.uint32)
-        cols = []
-        for k in range(w):
-            v = x[:, k]
-            tb = v & sb[:, k]
-            v2 = v + tb + carry
-            carry = (v2 < v).astype(jnp.uint32)
-            cols.append(v2 | (v - tb))
-        return jnp.stack(cols, axis=1), None
+    def pos_step(x, sym):
+        sb = table[sym]                         # [N, W] scalar-indexed slice
+        return hyyro_step(x, sb, n, w), None
 
-    x_final, _ = jax.lax.scan(pos_step, x0, queries.T, unroll=unroll)
+    x_final, _ = jax.lax.scan(pos_step, x0, ref_syms, unroll=unroll)
     return jax.lax.population_count(~x_final).astype(jnp.int32).sum(axis=1)
 
 
@@ -81,13 +106,12 @@ class JaxDistanceBackend:
             padded = np.full((n, lmax), 22, dtype=np.int8)
             for k, s in enumerate(sequences):
                 padded[k, :len(s.data)] = s.data
+            self.table_dev = jnp.asarray(build_query_mask_table(padded))
             self.queries_dev = jnp.asarray(padded.astype(np.int32))
             self.lengths = np.array([s.length for s in sequences], dtype=np.int64)
 
     def _lcs_all(self, ref_idx):
-        ref = self.sequences[ref_idx]
-        masks = build_bit_masks32(ref.data, ref.data_size)
-        out = lcs_kernel(jnp.asarray(masks), self.queries_dev)
+        out = lcs_kernel(self.table_dev, self.queries_dev[ref_idx])
         return np.asarray(out).astype(np.int64)
 
     def row(self, ref_idx, query_ids=None):

@@ -6,8 +6,12 @@ device dispatch each; instead the ENTIRE Prim loop runs as one compiled
 program: a lax.scan over rounds, each round computing the bit-parallel LCS
 of the newly added vertex against all sequences (lane-parallel), folding
 the per-vertex best (distance, ~packed-id) pair, and taking the
-deterministic lexicographic argmin.  Per-symbol bit masks for every
-sequence are precomputed once as a [N, 20, W] uint32 tensor in HBM.
+deterministic lexicographic argmin.
+
+Symmetric-LCS layout (see ops/lcs_jax.py): per-symbol bit masks of ALL
+sequences are precomputed once as a [32, N, W] uint32 table in HBM; each
+round streams the new vertex's SYMBOLS, so every position needs only
+table[sym] - a scalar-indexed slice instead of an [N]-vector gather.
 
 Outputs (edge endpoints, negated distances, prim orders) feed the host-side
 dendrogram construction (tree/mst_prim.py), bit-identical to the reference.
@@ -22,64 +26,36 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.defs import NO_VALID_AMINOACIDS
+from .lcs_jax import build_query_mask_table, hyyro_step
 
 BV32 = 32
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def build_all_masks(padded, lengths):
-    """[N, 20, W] uint32 per-symbol occupancy masks for all sequences.
-    padded: [N, L] int8 (pad symbol >= 20)."""
-    n, lmax = padded.shape
-    w = (lmax + BV32 - 1) // BV32
-    masks = np.zeros((n, NO_VALID_AMINOACIDS, w), dtype=np.uint32)
-    sym = padded.astype(np.int64)
-    t = np.arange(lmax)
-    words = t // BV32
-    bits = (np.uint32(1) << (t % BV32).astype(np.uint32))
-    valid = (sym >= 0) & (sym < NO_VALID_AMINOACIDS)
-    rows, cols = np.nonzero(valid)
-    np.bitwise_or.at(masks, (rows, sym[rows, cols], words[cols]), bits[cols])
-    return masks
-
-
 @functools.partial(jax.jit, static_argnames=("unroll",))
-def prim_device(all_masks, queries, lengths, unroll=1):
+def prim_device(table, queries, lengths, unroll=1):
     """Run all n-1 Prim rounds on device.
 
-    all_masks: [N, 20, W] uint32; queries: [N, L] int32; lengths: [N] int64.
-    Returns (edge_p1, edge_p2, edge_dist_neg, prim_orders) - see
-    tree/mst_prim.py for the host dendrogram step."""
+    table: [32, N, W] uint32 query masks; queries: [N, L] int32;
+    lengths: [N] int64.  Returns (edge_p1, edge_p2, edge_dist_neg,
+    prim_orders) - see tree/mst_prim.py for the host dendrogram step."""
     n, lmax = queries.shape
-    w = all_masks.shape[2]
+    w = table.shape[2]
 
-    def lcs_round(masks_ref, x_syms):
-        # masks_ref: [20, W]; returns [N] int64 LCS lengths
-        masks_full = jnp.zeros((32, w), jnp.uint32).at[:NO_VALID_AMINOACIDS].set(masks_ref)
-        x = jnp.full((n, w), jnp.uint32(0xFFFFFFFF))
+    def lcs_round(ref_syms):
+        x0 = jnp.full((n, w), jnp.uint32(0xFFFFFFFF))
 
-        def pos_step(xc, syms):
-            sb = masks_full[syms]
-            carry = jnp.zeros((n,), jnp.uint32)
-            cols = []
-            for k in range(w):
-                v = xc[:, k]
-                tb = v & sb[:, k]
-                v2 = v + tb + carry
-                carry = (v2 < v).astype(jnp.uint32)
-                cols.append(v2 | (v - tb))
-            return jnp.stack(cols, axis=1), None
+        def pos_step(x, sym):
+            return hyyro_step(x, table[sym], n, w), None
 
-        xf, _ = jax.lax.scan(pos_step, x, x_syms.T, unroll=unroll)
+        xf, _ = jax.lax.scan(pos_step, x0, ref_syms, unroll=unroll)
         return jax.lax.population_count(~xf).astype(jnp.int64).sum(axis=1)
 
     ids = jnp.arange(n, dtype=jnp.uint64)
 
     def round_step(state, _):
         cur, dist, tieb, active = state
-        masks_ref = all_masks[cur]
-        lcs = lcs_round(masks_ref, queries)
+        lcs = lcs_round(queries[cur])
         rlen = lengths[cur]
         indel = (rlen + lengths - 2 * lcs).astype(jnp.float64)
         lcs_f = lcs.astype(jnp.float64)
@@ -134,9 +110,9 @@ def mst_prim_tree_device(sequences, tree, measure=None):
         padded[k, :len(s.data)] = s.data
     lengths = np.array([s.length for s in sequences], dtype=np.int64)
 
-    masks = build_all_masks(padded, lengths)
+    table = build_query_mask_table(padded)
     e1, e2, dneg, bests = prim_device(
-        jnp.asarray(masks), jnp.asarray(padded.astype(np.int32)),
+        jnp.asarray(table), jnp.asarray(padded.astype(np.int32)),
         jnp.asarray(lengths))
     e1 = np.asarray(e1)
     e2 = np.asarray(e2)

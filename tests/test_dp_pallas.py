@@ -1,0 +1,67 @@
+"""Pallas DP kernel (interpreter mode on CPU) vs NumPy reference DP."""
+
+import numpy as np
+import pytest
+
+from famsa_tpu.core.dp import dp_prof_prof, dp_seq_prof
+from famsa_tpu.core.params import Params
+
+from test_dp_jax_parity import _make_profile
+
+
+@pytest.mark.parametrize("n1,n2,w1,w2", [
+    (3, 4, 40, 55), (1, 5, 30, 70), (8, 2, 90, 33), (1, 1, 25, 25),
+])
+def test_dp_pallas_matches_numpy(n1, n2, w1, w2):
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_batched
+
+    rng = np.random.default_rng(n1 * 100 + n2)
+    params = Params()
+    params.adjust(50)
+
+    p1 = _make_profile(rng, params, n1, w1)
+    p2 = _make_profile(rng, params, n2, w2)
+
+    if n1 == 1:
+        ref = dp_seq_prof(params, p1, p2)
+    else:
+        ref = dp_prof_prof(params, p1, p2)
+    got = dp_profile_pallas_batched(params, [(p1, p2)], interpret=True)[0]
+
+    assert ref.last == got.last
+    w1r, w2r = p1.width, p2.width
+    assert np.array_equal(ref.dirs_D[:w1r + 1, :w2r + 1],
+                          got.dirs_D[:w1r + 1, :w2r + 1])
+    assert np.array_equal(ref.dirs_H[1:w1r + 1, 1:w2r + 1],
+                          got.dirs_H[1:w1r + 1, 1:w2r + 1])
+    assert np.array_equal(ref.dirs_V[1:w1r + 1, 1:w2r + 1],
+                          got.dirs_V[1:w1r + 1, 1:w2r + 1])
+
+
+def test_dp_pallas_sublane_batch():
+    """SB=8 packing: 9 merges of mixed sizes, parity vs singles."""
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_batched
+
+    rng = np.random.default_rng(7)
+    params = Params()
+    params.adjust(50)
+
+    pairs = []
+    for k in range(9):
+        p1 = _make_profile(rng, params, 1 + (k % 4), 25 + 9 * k)
+        p2 = _make_profile(rng, params, 2 + (k % 3), 60 - 4 * k)
+        pairs.append((p1, p2))
+
+    from famsa_tpu.ops.dp_jax import dp_profile_jax
+
+    batched = dp_profile_pallas_batched(params, pairs, sb=8, interpret=True)
+    for (p1, p2), got in zip(pairs, batched):
+        ref = dp_profile_jax(params, p1, p2)
+        w1r, w2r = p1.width, p2.width
+        assert ref.last == got.last
+        assert np.array_equal(ref.dirs_D[:w1r + 1, :w2r + 1],
+                              got.dirs_D[:w1r + 1, :w2r + 1])
+        assert np.array_equal(ref.dirs_H[1:w1r + 1, 1:w2r + 1],
+                              got.dirs_H[1:w1r + 1, 1:w2r + 1])
+        assert np.array_equal(ref.dirs_V[1:w1r + 1, 1:w2r + 1],
+                              got.dirs_V[1:w1r + 1, 1:w2r + 1])

@@ -1,7 +1,7 @@
 import numpy as np
 
 from famsa_tpu.ops.lcs import build_bit_masks, lcs_ref_vs_queries
-from famsa_tpu.ops.lcs_jax import build_bit_masks32, lcs_kernel
+from famsa_tpu.ops.lcs_jax import build_query_mask_table, lcs_kernel
 
 
 def _random_seqs(rng, n, lmax):
@@ -21,6 +21,8 @@ def test_lcs_jax_matches_numpy():
     masks64 = build_bit_masks(ref, len(ref))
     expected = lcs_ref_vs_queries(masks64, seqs)
 
-    masks32 = build_bit_masks32(ref, len(ref))
-    got = np.asarray(lcs_kernel(jnp.asarray(masks32), jnp.asarray(seqs.astype(np.int32))))
+    # flipped layout: per-symbol masks of all queries, stream the ref
+    table = build_query_mask_table(seqs)
+    ref_padded = seqs[0].astype(np.int32)
+    got = np.asarray(lcs_kernel(jnp.asarray(table), jnp.asarray(ref_padded)))
     assert np.array_equal(expected, got.astype(np.int64))
