@@ -19,7 +19,10 @@ from .profile import Profile
 
 def _trace_path(res, w1, w2):
     """Walk the direction matrices from (w1,w2) to (0,0); returns the
-    forward move list (length = new width)."""
+    forward move list (length = new width).  Results from the device
+    traceback (ops/dp_pallas.py:JaxPathResult) carry the path directly."""
+    if getattr(res, "path", None) is not None:
+        return res.path, res.total
     d0, h0, v0 = res.last
     if d0 >= h0 and d0 >= v0:
         dir_ = D

@@ -93,6 +93,11 @@ class DistanceBackend:
 
 def get_distance_backend(sequences, measure, dtype, backend="numpy"):
     if backend == "jax":
+        import jax
+        if jax.default_backend() == "tpu":
+            # Mosaic kernel, row blocks per dispatch (ops/lcs_pallas.py)
+            from .lcs_pallas import PallasDistanceBackend
+            return PallasDistanceBackend(sequences, measure, dtype)
         from .lcs_jax import JaxDistanceBackend
         return JaxDistanceBackend(sequences, measure, dtype)
     return DistanceBackend(sequences, measure, dtype)

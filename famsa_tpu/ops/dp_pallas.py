@@ -62,8 +62,11 @@ def _pallas_bucket(w):
 
 
 def _row_block(sb, w2pe):
-    """Rows per grid step, sized so double-buffered matrix blocks fit VMEM."""
-    for blk in (128, 64, 32, 16, 8, 4, 2, 1):
+    """Rows per grid step: small enough that double-buffered matrix blocks
+    fit VMEM AND the statically-unrolled row loop keeps code size sane
+    (rows are unrolled in the kernel body; dynamic row indexing into VMEM
+    lowers pathologically on Mosaic)."""
+    for blk in (8, 4, 2, 1):
         if 14 * blk * sb * w2pe * 4 * 2 <= 9 * 1024 * 1024:
             return blk
     return 1
@@ -158,8 +161,10 @@ def _make_kernel(sb, blk, w2pe):
                   (prev_ref[4 * sb:5 * sb, :], prev_ref[5 * sb:6 * sb, :]))
 
         def row_body(r, carry):
+            # r is a STATIC Python int: all VMEM indexing below is static
+            # (dynamic sublane indexing lowers to selects on Mosaic).
             pD, pH, pV = carry
-            glob_r = i * np.int32(blk) + r
+            glob_r = i * np.int32(blk) + np.int32(r)
 
             def mrow(ref):
                 return ref[0, r, :, :]                # [sb, w2pe]
@@ -241,8 +246,10 @@ def _make_kernel(sb, blk, w2pe):
             fin_ref[0, r, :, :] = fin
             return (D, H, V)
 
-        D, H, V = jax.lax.fori_loop(jnp.int32(0), jnp.int32(blk),
-                                    row_body, carry0)
+        carry = carry0
+        for r in range(blk):
+            carry = row_body(r, carry)
+        D, H, V = carry
         prev_ref[0:sb, :] = D[0]
         prev_ref[sb:2 * sb, :] = D[1]
         prev_ref[2 * sb:3 * sb, :] = H[0]
@@ -260,12 +267,10 @@ def _split(x):
     return ((x >> np.int64(32)).astype(jnp.int32), x.astype(jnp.int32))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
-def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
-    """colp/xs: stacked arrays with leading dims [G, sb, ...] (G groups of
-    sb merges).  Returns (dirs u8 [G*sb, w1p+1, w2p+1],
-    finals i32 [G, w1p, sb, 8])."""
+def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
+    """Stage 1 + pallas_call; returns the raw kernel outputs
+    (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
+    Traced inside the jitted wrappers below."""
     w2pe = w2p + LANE_PAD
     g = colp["s2"].shape[0]
 
@@ -340,6 +345,18 @@ def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
         scratch_shapes=[pltpu.VMEM((6 * sb, w2pe), jnp.int32)],
         interpret=interpret,
     )(w1m1, h0hi, h0lo, lastm, *mats)
+    return dirs_i32, fins
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
+def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
+    """colp/xs: stacked arrays with leading dims [G, sb, ...] (G groups of
+    sb merges).  Returns (dirs u8 [G*sb, w1p+1, w2p+1],
+    finals i32 [G, w1p, sb, 8])."""
+    w2pe = w2p + LANE_PAD
+    g = colp["s2"].shape[0]
+    dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret)
 
     # [G, w1p, sb, w2pe] -> [G*sb, w1p+1, w2p+1] u8 with the constant row 0
     dirs = dirs_i32[..., :w2p + 1].astype(jnp.uint8)
@@ -390,6 +407,134 @@ def _prepare_pallas(params, p1, p2, w1p, w2p):
         w1m1=np.int64(p1.width - 1),
     )
     return colp, xsp
+
+
+# ---------------------------------------------------------------------------
+# on-device traceback: pull only the O(W) path, never the O(W^2) matrices
+# (the axon tunnel moves ~15 MB/s; a 2 MB direction-matrix pull costs more
+# than the whole DP kernel)
+# ---------------------------------------------------------------------------
+def _traceback_one(dirs_m, w1, w2, dir0, steps):
+    """dirs_m: [w1p, w2pe] packed i32, row r = DP row r+1 (DP row 0 is the
+    constant ROW0_PACK boundary).  Walks from (w1, w2) with initial channel
+    dir0; returns (emits [steps] i32 with sentinel 3 after done).
+    Mirrors core/construct.py:_trace_path."""
+
+    def step(carry, _):
+        i, j, d, done = carry
+        cell = jax.lax.dynamic_slice(dirs_m, (i - 1, j), (1, 1))[0, 0]
+        cell = jnp.where(i == 0,
+                         jnp.where(j >= 1, jnp.int32(ROW0_PACK), jnp.int32(0)),
+                         cell)
+        nd = jax.lax.shift_right_logical(
+            cell, (2 * d).astype(jnp.int32)) & jnp.int32(3)
+        di = ((d == _D) | (d == _V)).astype(jnp.int32)
+        dj = ((d == _D) | (d == _H)).astype(jnp.int32)
+        act = (~done).astype(jnp.int32)
+        i2 = i - di * act
+        j2 = j - dj * act
+        emit = jnp.where(done, jnp.int32(3), nd)
+        d2 = jnp.where(done, d, nd)
+        done2 = (i2 == 0) & (j2 == 0)
+        return (i2, j2, d2, done2), emit
+
+    init = (w1.astype(jnp.int32), w2.astype(jnp.int32),
+            dir0.astype(jnp.int32), (w1 == 0) & (w2 == 0))
+    _, emits = jax.lax.scan(step, init, None, length=steps)
+    return emits
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
+def _dp_pallas_tb(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
+    """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
+    true widths.  Returns (emits [B, w1p+w2p] i32, dir0 [B] i32,
+    total [B] i64).  Direction matrices never leave the device."""
+    w2pe = w2p + LANE_PAD
+    g = colp["s2"].shape[0]
+    b = g * sb
+
+    dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret)
+    # [G, w1p, sb, w2pe] -> [B, w1p, w2pe]
+    dirs_m = dirs_i32.transpose(0, 2, 1, 3).reshape(b, w1p, w2pe)
+
+    # final-row (hi, lo) triples per merge: fins[g, w1-1, s, :]
+    fins_b = fins.transpose(0, 2, 1, 3).reshape(b, w1p, 8)
+    idx = jnp.maximum(w1v.astype(jnp.int32) - 1, 0)
+    f = jnp.take_along_axis(fins_b, idx[:, None, None].astype(jnp.int64),
+                            axis=1)[:, 0, :]     # [B, 8]
+
+    def join(hi, lo):
+        return (hi.astype(jnp.int64) << np.int64(32)) | \
+               (lo.astype(jnp.int64) & np.int64(0xFFFFFFFF))
+
+    d0 = join(f[:, 0], f[:, 1])
+    h0 = join(f[:, 2], f[:, 3])
+    v0 = join(f[:, 4], f[:, 5])
+    pick_d = (d0 >= h0) & (d0 >= v0)
+    pick_h = (~pick_d) & (h0 > v0)
+    dir0 = jnp.where(pick_d, jnp.int32(_D),
+                     jnp.where(pick_h, jnp.int32(_H), jnp.int32(_V)))
+    total = jnp.where(pick_d, d0, jnp.where(pick_h, h0, v0))
+
+    emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
+        dirs_m, w1v, w2v, dir0, w1p + w2p)
+    return emits, dir0, total
+
+
+class JaxPathResult:
+    """DP result carrying the traceback path directly (device traceback);
+    construct's _trace_path short-circuits on .path."""
+    __slots__ = ("path", "total")
+
+    def __init__(self, path, total):
+        self.path = path
+        self.total = total
+
+
+def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False):
+    """Batched DP + device traceback: returns [JaxPathResult] per pair.
+    Only O(W) bytes cross the device boundary per merge."""
+    n = len(pairs)
+    if sb is None:
+        sb = 8 if n >= 5 else 1
+    w1p = max(_pallas_bucket(p1.width) for p1, _ in pairs)
+    w2p = max(_pallas_bucket(p2.width) for _, p2 in pairs)
+    blk = _row_block(sb, w2p + LANE_PAD)
+
+    g = (n + sb - 1) // sb
+    colps, xsps = [], []
+    for k in range(g * sb):
+        p1, p2 = pairs[min(k, n - 1)]
+        c, x = _prepare_pallas(params, p1, p2, w1p, w2p)
+        colps.append(c)
+        xsps.append(x)
+
+    def stack(ds):
+        return {k: jnp.asarray(
+            np.stack([d[k] for d in ds]).reshape((g, sb) + np.shape(ds[0][k])))
+            for k in ds[0]}
+
+    w1v = np.array([pairs[min(k, n - 1)][0].width for k in range(g * sb)],
+                   dtype=np.int32)
+    w2v = np.array([pairs[min(k, n - 1)][1].width for k in range(g * sb)],
+                   dtype=np.int32)
+
+    emits, dir0, total = _dp_pallas_tb(
+        stack(colps), stack(xsps), jnp.asarray(w1v), jnp.asarray(w2v),
+        sb, blk, w1p, w2p, interpret=interpret)
+    emits = np.asarray(emits)
+    dir0 = np.asarray(dir0)
+    total = np.asarray(total)
+
+    out = []
+    for k in range(n):
+        e = emits[k]
+        stop = np.argmax(e == 3) if (e == 3).any() else len(e)
+        full = [int(dir0[k])] + [int(x) for x in e[:stop]]
+        full.reverse()
+        out.append(JaxPathResult(full[1:], int(total[k])))
+    return out
 
 
 def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):

@@ -32,24 +32,36 @@ BV32 = 32
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("unroll",))
-def prim_device(table, queries, lengths, unroll=1):
+@functools.partial(jax.jit, static_argnames=("unroll", "pallas_meta"))
+def prim_device(table, queries, lengths, unroll=1, pallas_meta=None):
     """Run all n-1 Prim rounds on device.
 
-    table: [32, N, W] uint32 query masks; queries: [N, L] int32;
-    lengths: [N] int64.  Returns (edge_p1, edge_p2, edge_dist_neg,
-    prim_orders) - see tree/mst_prim.py for the host dendrogram step."""
+    table: [32, N, W] uint32 query masks (XLA path) or the packed
+    [NB, 32*W, 8, QL] int32 layout when pallas_meta=(w, ql) is given
+    (ops/lcs_pallas.py); queries: [N, L] int32; lengths: [N] int64.
+    Returns (edge_p1, edge_p2, edge_dist_neg, prim_orders) - see
+    tree/mst_prim.py for the host dendrogram step."""
     n, lmax = queries.shape
-    w = table.shape[2]
 
-    def lcs_round(ref_syms):
-        x0 = jnp.full((n, w), jnp.uint32(0xFFFFFFFF))
+    if pallas_meta is not None:
+        w, ql, interp = pallas_meta
 
-        def pos_step(x, sym):
-            return hyyro_step(x, table[sym], n, w), None
+        def lcs_round(ref_syms):
+            from .lcs_pallas import _lcs_pallas_impl
+            out = _lcs_pallas_impl(table, ref_syms[None, :], w, lmax, ql,
+                                   interpret=interp)
+            return out.reshape(-1)[:n].astype(jnp.int64)
+    else:
+        w = table.shape[2]
 
-        xf, _ = jax.lax.scan(pos_step, x0, ref_syms, unroll=unroll)
-        return jax.lax.population_count(~xf).astype(jnp.int64).sum(axis=1)
+        def lcs_round(ref_syms):
+            x0 = jnp.full((n, w), jnp.uint32(0xFFFFFFFF))
+
+            def pos_step(x, sym):
+                return hyyro_step(x, table[sym], n, w), None
+
+            xf, _ = jax.lax.scan(pos_step, x0, ref_syms, unroll=unroll)
+            return jax.lax.population_count(~xf).astype(jnp.int64).sum(axis=1)
 
     ids = jnp.arange(n, dtype=jnp.uint64)
 
@@ -96,13 +108,19 @@ def prim_device(table, queries, lengths, unroll=1):
     return e1, e2, dneg, bests
 
 
-def mst_prim_tree_device(sequences, tree, measure=None):
-    """Device MST-Prim + host dendrogram (drop-in for tree/mst_prim.py)."""
+def mst_prim_tree_device(sequences, tree, measure=None, use_pallas=None):
+    """Device MST-Prim + host dendrogram (drop-in for tree/mst_prim.py).
+
+    use_pallas: run the per-round LCS as the Mosaic kernel
+    (ops/lcs_pallas.py) instead of the XLA scan - default on TPU."""
+    import jax as _jax
     from ..tree.mst_prim import _mst_to_dendrogram
 
     n = len(sequences)
     if n == 1:
         return
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
     lmax = max(s.data_size for s in sequences)
     lmax = ((lmax + BV32 - 1) // BV32) * BV32
     padded = np.full((n, lmax), 22, dtype=np.int8)
@@ -110,10 +128,19 @@ def mst_prim_tree_device(sequences, tree, measure=None):
         padded[k, :len(s.data)] = s.data
     lengths = np.array([s.length for s in sequences], dtype=np.int64)
 
-    table = build_query_mask_table(padded)
-    e1, e2, dneg, bests = prim_device(
-        jnp.asarray(table), jnp.asarray(padded.astype(np.int32)),
-        jnp.asarray(lengths))
+    if use_pallas:
+        from .lcs_pallas import _pick_ql, pack_query_table
+        w = lmax // BV32
+        ql = _pick_ql(w)
+        tab, _, _ = pack_query_table(padded, ql)
+        e1, e2, dneg, bests = prim_device(
+            jnp.asarray(tab), jnp.asarray(padded.astype(np.int32)),
+            jnp.asarray(lengths), pallas_meta=(w, ql, False))
+    else:
+        table = build_query_mask_table(padded)
+        e1, e2, dneg, bests = prim_device(
+            jnp.asarray(table), jnp.asarray(padded.astype(np.int32)),
+            jnp.asarray(lengths))
     e1 = np.asarray(e1)
     e2 = np.asarray(e2)
     dneg = np.asarray(dneg)

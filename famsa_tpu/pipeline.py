@@ -191,9 +191,18 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     the native host DP."""
     import os
 
+    import jax as _jax
+
     from .core.aligner import _JAX_MIN_CELLS
     from .core.aligner import construct_profile as _construct
     from .ops.dp_jax import _bucket, dp_profile_jax_batched
+
+    if _jax.default_backend() == "tpu" and \
+            os.environ.get("FAMSA_TPU_DP_PALLAS", "1") == "1":
+        # Mosaic DP + on-device traceback: only O(W) path bytes are pulled
+        from .ops.dp_pallas import dp_profile_pallas_paths as _dp_batched
+    else:
+        _dp_batched = dp_profile_jax_batched
 
     max_batch = int(os.environ.get("FAMSA_TPU_MAX_BATCH", "8"))
     n = len(gapped_sequences)
@@ -271,7 +280,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
         for key, items in groups.items():
             for k0 in range(0, len(items), max_batch):
                 chunk = items[k0:k0 + max_batch]
-                results = dp_profile_jax_batched(
+                results = _dp_batched(
                     params, [(p1, p2) for _, p1, p2 in chunk])
                 for (node_id, p1, p2), res in zip(chunk, results):
                     dest = Profile(params)

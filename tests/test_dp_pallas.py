@@ -65,3 +65,27 @@ def test_dp_pallas_sublane_batch():
                               got.dirs_H[1:w1r + 1, 1:w2r + 1])
         assert np.array_equal(ref.dirs_V[1:w1r + 1, 1:w2r + 1],
                               got.dirs_V[1:w1r + 1, 1:w2r + 1])
+
+
+def test_dp_pallas_device_traceback():
+    """Device traceback path/total vs host _trace_path on the same DP."""
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.ops.dp_jax import dp_profile_jax
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_paths
+
+    rng = np.random.default_rng(11)
+    params = Params()
+    params.adjust(50)
+
+    pairs = []
+    for k in range(6):
+        p1 = _make_profile(rng, params, 1 + (k % 3), 30 + 11 * k)
+        p2 = _make_profile(rng, params, 2 + (k % 4), 75 - 6 * k)
+        pairs.append((p1, p2))
+
+    got = dp_profile_pallas_paths(params, pairs, sb=8, interpret=True)
+    for (p1, p2), g in zip(pairs, got):
+        ref = dp_profile_jax(params, p1, p2)
+        path, total = _trace_path(ref, p1.width, p2.width)
+        assert g.total == total
+        assert g.path == path
