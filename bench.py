@@ -73,9 +73,18 @@ def main():
     import jax
 
     from famsa_tpu.core.params import Params
-    from famsa_tpu.ops.dp_jax import dp_profile_jax_batched
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    on_tpu = jax.default_backend() == "tpu"
+
+    if on_tpu:
+        # production TPU path: Mosaic DP kernel + on-device traceback
+        # (only the O(W) paths and final scores leave the device)
+        from famsa_tpu.ops.dp_pallas import (_pallas_bucket as _bucket,
+                                             dp_profile_pallas_paths as _dp)
+    else:
+        from famsa_tpu.ops.dp_jax import _bucket
+        from famsa_tpu.ops.dp_jax import dp_profile_jax_batched as _dp
 
     params = Params()
     params.adjust(1000)
@@ -83,23 +92,22 @@ def main():
 
     w = int(os.environ.get("BENCH_W", "2048"))
     card = int(os.environ.get("BENCH_CARD", "64"))
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
 
     pairs = [( _random_profile(rng, params, card, w),
                _random_profile(rng, params, card, w)) for _ in range(batch)]
 
     # warmup / compile
     t0 = time.perf_counter()
-    dp_profile_jax_batched(params, pairs)
+    _dp(params, pairs)
     print(f"compile+first run: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = dp_profile_jax_batched(params, pairs)   # materializes results
+        out = _dp(params, pairs)   # materializes results (paths + scores)
     dt = (time.perf_counter() - t0) / n_iter
 
-    from famsa_tpu.ops.dp_jax import _bucket
     wp = _bucket(pairs[0][0].width)
     cells = batch * wp * _bucket(pairs[0][1].width)
     rate = cells / dt

@@ -217,19 +217,28 @@ class PallasDistanceBackend:
             self.lengths = np.array([s.length for s in sequences],
                                     dtype=np.int64)
 
-    def _lcs_block(self, ref_ids):
+    def _lcs_block(self, ref_ids, pad_to=None):
         syms = self.padded[ref_ids].astype(np.int32)
-        return lcs_rows(self.table_dev, syms, self.w, self.ql, self.n)
+        if pad_to is not None and len(ref_ids) < pad_to:
+            syms = np.vstack([syms,
+                              np.tile(syms[-1:], (pad_to - len(syms), 1))])
+        out = lcs_rows(self.table_dev, syms, self.w, self.ql, self.n)
+        return out[:len(ref_ids)]
 
     def _lcs_all(self, ref_idx):
-        if self._cache_base >= 0 and \
+        if self._cache is not None and \
                 self._cache_base <= ref_idx < self._cache_base + len(self._cache):
             return self._cache[ref_idx - self._cache_base]
-        base = ref_idx
-        ids = np.arange(base, min(base + self.block_rows, self.n))
-        self._cache = self._lcs_block(ids).astype(np.int64)
-        self._cache_base = base
-        return self._cache[0]
+        sequential = self._cache is None or \
+            ref_idx == self._cache_base + len(self._cache)
+        if sequential:
+            # SLINK/UPGMA-style forward sweep: prefetch a whole row block
+            ids = np.arange(ref_idx, min(ref_idx + self.block_rows, self.n))
+            self._cache = self._lcs_block(ids, pad_to=self.block_rows)
+            self._cache_base = ref_idx
+            return self._cache[0]
+        # random access (medoid seeds, CLARANS): one 8-row-padded call
+        return self._lcs_block(np.array([ref_idx]), pad_to=8)[0]
 
     def row(self, ref_idx, query_ids=None):
         lcs = self._lcs_all(ref_idx)
