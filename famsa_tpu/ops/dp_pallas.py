@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.defs import INFTY, NO_AMINOACIDS_AND_GAPS
+from ..core.defs import (GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
+                         INFTY, NO_AMINOACIDS, NO_AMINOACIDS_AND_GAPS)
 from .dp_jax import JaxDPResult, _bucket, _prepare_inputs
 
 NEG = np.int64(-INFTY)
@@ -270,7 +271,12 @@ def _split(x):
 def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
     """Stage 1 + pallas_call; returns the raw kernel outputs
     (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
-    Traced inside the jitted wrappers below."""
+    Traced inside the jitted wrappers below.
+
+    Inputs may arrive in narrower integer dtypes (host-side shrink to cut
+    the upload; see _shrink) - everything is widened to i64 on device."""
+    colp = {k: v.astype(jnp.int64) for k, v in colp.items()}
+    xs = {k: v.astype(jnp.int64) for k, v in xs.items()}
     w2pe = w2p + LANE_PAD
     g = colp["s2"].shape[0]
 
@@ -371,6 +377,21 @@ def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
 # ---------------------------------------------------------------------------
 # host-side preparation
 # ---------------------------------------------------------------------------
+def _shrink(a):
+    """Smallest safe signed dtype for the host->device upload (the device
+    tunnel moves ~15-50 MB/s; i64 operands quadruple the transfer)."""
+    if a.dtype != np.int64:
+        return a
+    if a.size == 0:
+        return a.astype(np.int16)
+    m = abs(int(a.max(initial=0))) | abs(int(a.min(initial=0)))
+    if m < 2 ** 15:
+        return a.astype(np.int16)
+    if m < 2 ** 31:
+        return a.astype(np.int32)
+    return a
+
+
 def _prepare_pallas(params, p1, p2, w1p, w2p):
     """numpy dicts for one merge: colp (column-shaped, lane j == col j) and
     xs (per-row, padded to w1p)."""
@@ -410,6 +431,133 @@ def _prepare_pallas(params, p1, p2, w1p, w2p):
 
 
 # ---------------------------------------------------------------------------
+# device-side stage 0: derive ALL DP cost inputs from the raw profile
+# counters, so the host uploads only [W+1, 32] i8/i16 counter tensors per
+# merge (~4x less than the precomputed cost arrays).  Mirrors
+# core/profile.py:_calculate_scores and ops/dp_jax.py:_prepare_inputs /
+# _gap_correction_arrays exactly (integer arithmetic, bit-identical).
+# ---------------------------------------------------------------------------
+def _scores_from_counters(c, card, w, sm, gp):
+    """[Wp+1, 32] counters -> [Wp+1, 32] scores (profile.cpp:162-217).
+    c i64, card/w traced scalars, sm [24, 24] i64, gp static ints."""
+    go, ge, gto, gte = gp
+    wp = c.shape[0] - 1
+    cc = c[1:]
+    gap_cost = (cc[:, GAP_OPEN] * go + cc[:, GAP_TERM_OPEN] * gto
+                + cc[:, GAP_EXT] * ge + cc[:, GAP_TERM_EXT] * gte)
+    sym = jnp.zeros((wp, NO_AMINOACIDS), jnp.int64)
+    for s in range(NO_AMINOACIDS):
+        sym = sym + cc[:, s:s + 1] * sm[s][None, :]
+    tot = cc[:, :NO_AMINOACIDS].sum(axis=1)
+
+    scores = jnp.zeros((wp + 1, 32), jnp.int64)
+    scores = scores.at[1:, :NO_AMINOACIDS].set(sym + gap_cost[:, None])
+    scores = scores.at[1:, GAP_OPEN].set(tot * go)
+    scores = scores.at[1:, GAP_TERM_OPEN].set(tot * gto)
+    scores = scores.at[1:, GAP_EXT].set(tot * ge)
+    scores = scores.at[1:, GAP_TERM_EXT].set(tot * gte)
+    row0 = jnp.zeros(32, jnp.int64)
+    row0 = row0.at[GAP_OPEN].set(card * go)
+    row0 = row0.at[GAP_EXT].set(card * ge)
+    row0 = row0.at[GAP_TERM_EXT].set(card * gte)
+    row0 = row0.at[GAP_TERM_OPEN].set(card * gto)
+    return scores.at[0].set(row0)
+
+
+def _gap_corrections_device(c, w, card):
+    """ops/dp_jax.py:_gap_correction_arrays, traced (w/card scalars)."""
+    wp = c.shape[0] - 1
+    j = np.arange(wp + 1)
+    nxt = np.minimum(j + 1, wp)
+    internal = (j >= 1) & (j < w)
+    at_end = j == w
+    z = jnp.int64(0)
+
+    st_to = jnp.where(internal, c[nxt, GAP_TERM_OPEN], z)
+    st_te = jnp.where(internal, c[j, GAP_TERM_OPEN] + c[j, GAP_TERM_EXT], z)
+    st_ext = jnp.where(internal, c[j, GAP_OPEN] + c[j, GAP_EXT], z)
+    cnt_end = c[j, GAP_TERM_OPEN] + c[j, GAP_TERM_EXT]
+    st_te = jnp.where(at_end, cnt_end, st_te)
+    st_to = jnp.where(at_end, card - cnt_end, st_to)
+    st_open = jnp.where(internal, card - st_ext - st_to - st_te, z)
+
+    ct_te = jnp.where(internal, c[nxt, GAP_TERM_OPEN] + c[j, GAP_TERM_OPEN]
+                      + c[j, GAP_TERM_EXT], z)
+    ct_te = jnp.where(at_end, card, ct_te)
+    ct_ext = jnp.where(internal | at_end, card - ct_te, z)
+    ct_te = jnp.where(~(internal | at_end), z, ct_te)
+    return st_open, st_ext, st_to, st_te, ct_ext, ct_te
+
+
+def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p):
+    """Device equivalent of _prepare_inputs + _prepare_pallas for ONE merge.
+    c1 [w1p+1, 32] i64, c2 [w2p+1, 32] i64; w1/w2/card1/card2 i64 scalars.
+    Returns (colp, xs) dicts in the pallas layout."""
+    from .dp_jax import _cumsum_log
+    go, ge, gto, gte = gp
+    w2pe = w2p + LANE_PAD
+    jj = np.arange(w2p + 1)
+    jjd = jnp.arange(w2p + 1)
+
+    s1 = _scores_from_counters(c1, card1, w1, sm, gp)
+    s2 = _scores_from_counters(c2, card2, w2, sm, gp)
+    # padded rows (beyond the true width) must be zero like the host pad()
+    rows1 = jnp.arange(w1p + 1)
+    rows2 = jnp.arange(w2p + 1)
+    s1 = jnp.where(rows1[:, None] <= w1, s1, jnp.int64(0))
+    s2 = jnp.where(rows2[:, None] <= w2, s2, jnp.int64(0))
+    c1m = jnp.where(rows1[:, None] <= w1, c1, jnp.int64(0))
+    c2m = jnp.where(rows2[:, None] <= w2, c2, jnp.int64(0))
+
+    g1 = _gap_corrections_device(c1m, w1, card1)
+    g2 = _gap_corrections_device(c2m, w2, card2)
+
+    p2o, p2e = s2[:, GAP_OPEN], s2[:, GAP_EXT]
+    p2to, p2te = s2[:, GAP_TERM_OPEN], s2[:, GAP_TERM_EXT]
+    gaps2_change = (c2m[:, GAP_OPEN] * (ge - go)
+                    + c2m[:, GAP_TERM_OPEN] * (gte - gto))
+
+    h0 = jnp.where(jjd == 1, p2to[1] * card1, p2te * card1)
+    h0 = jnp.concatenate([jnp.zeros(1, jnp.int64), _cumsum_log(h0[1:])])
+    h0 = jnp.where((jjd == 0) | (jjd == w2), jnp.int64(NEG), h0)
+
+    def padc(a, fill=0):
+        pad_shape = (w2pe - a.shape[0],) + a.shape[1:]
+        return jnp.concatenate(
+            [a, jnp.full(pad_shape, jnp.int64(fill))], axis=0)
+
+    def shift1(a):
+        out = jnp.zeros(w2pe, jnp.int64)
+        return out.at[1:1 + a.shape[0]].set(a)
+
+    colp = dict(
+        s2=padc(s2[:, :NO_AMINOACIDS_AND_GAPS]),
+        p2gaps=padc(jnp.stack([p2o, p2e, p2to, p2te], axis=1)),
+        gaps2_change=padc(gaps2_change),
+        h0=padc(h0, fill=NEG),
+        last_col_mask=padc((jjd == w2).astype(jnp.int64)),
+        g2so=shift1(g2[0][1:]), g2se=shift1(g2[1][1:]),
+        g2sto=shift1(g2[2][1:]), g2ste=shift1(g2[3][1:]),
+        g2ce=shift1(g2[4][1:]), g2cte=shift1(g2[5][1:]),
+    )
+    ii = jnp.arange(1, w1p + 1)
+    s1gto = s1[1:, GAP_TERM_OPEN]
+    s1gte = s1[1:, GAP_TERM_EXT]
+    xs = dict(
+        c1=c1m[1:, :NO_AMINOACIDS_AND_GAPS],
+        col1nng=c1m[1:, :NO_AMINOACIDS].sum(axis=1),
+        n1c=c1m[1:, GAP_OPEN], n1tc=c1m[1:, GAP_TERM_OPEN],
+        s1go=s1[1:, GAP_OPEN], s1ge=s1[1:, GAP_EXT],
+        s1gto=s1gto, s1gte=s1gte,
+        g1so=g1[0][1:], g1se=g1[1][1:], g1sto=g1[2][1:],
+        g1ste=g1[3][1:], g1ce=g1[4][1:], g1cte=g1[5][1:],
+        v0_cost=jnp.where(ii == 1, s1gto * card2, s1gte * card2),
+        w1m1=w1 - 1,
+    )
+    return colp, xs
+
+
+# ---------------------------------------------------------------------------
 # on-device traceback: pull only the O(W) path, never the O(W^2) matrices
 # (the axon tunnel moves ~15 MB/s; a 2 MB direction-matrix pull costs more
 # than the whole DP kernel)
@@ -444,9 +592,7 @@ def _traceback_one(dirs_m, w1, w2, dir0, steps):
     return emits
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
-def _dp_pallas_tb(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
+def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
     """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
     true widths.  Returns (emits [B, w1p+w2p] i32, dir0 [B] i32,
     total [B] i64).  Direction matrices never leave the device."""
@@ -482,6 +628,32 @@ def _dp_pallas_tb(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
     return emits, dir0, total
 
 
+_dp_pallas_tb = jax.jit(
+    _tb_impl, static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
+
+
+@functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
+                                             "interpret"))
+def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
+                           sb, blk, w1p, w2p, interpret=False):
+    """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
+    dtype), w1v/w2v/card1v/card2v [B] i32, sm [24,24] i64, gp static gap
+    costs.  Stage 0 (scores, gap corrections, boundaries) runs on device."""
+    b = c1s.shape[0]
+    g = b // sb
+
+    def one(c1, c2, w1, w2, k1, k2):
+        return _stage0_one(c1.astype(jnp.int64), c2.astype(jnp.int64),
+                           w1.astype(jnp.int64), w2.astype(jnp.int64),
+                           k1.astype(jnp.int64), k2.astype(jnp.int64),
+                           sm, gp, w1p, w2p)
+
+    colp, xs = jax.vmap(one)(c1s, c2s, w1v, w2v, card1v, card2v)
+    colp = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in colp.items()}
+    xs = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in xs.items()}
+    return _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret)
+
+
 class JaxPathResult:
     """DP result carrying the traceback path directly (device traceback);
     construct's _trace_path short-circuits on .path."""
@@ -494,7 +666,8 @@ class JaxPathResult:
 
 def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False):
     """Batched DP + device traceback: returns [JaxPathResult] per pair.
-    Only O(W) bytes cross the device boundary per merge."""
+    The host uploads only the raw [W+1, 32] counter tensors (narrowed to
+    i8/i16 when the cardinality allows) and pulls only the O(W) paths."""
     n = len(pairs)
     if sb is None:
         sb = 8 if n >= 5 else 1
@@ -503,26 +676,28 @@ def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False):
     blk = _row_block(sb, w2p + LANE_PAD)
 
     g = (n + sb - 1) // sb
-    colps, xsps = [], []
-    for k in range(g * sb):
+    b = g * sb
+    c1s = np.zeros((b, w1p + 1, 32), dtype=np.int64)
+    c2s = np.zeros((b, w2p + 1, 32), dtype=np.int64)
+    w1v = np.empty(b, dtype=np.int32)
+    w2v = np.empty(b, dtype=np.int32)
+    k1v = np.empty(b, dtype=np.int32)
+    k2v = np.empty(b, dtype=np.int32)
+    for k in range(b):
         p1, p2 = pairs[min(k, n - 1)]
-        c, x = _prepare_pallas(params, p1, p2, w1p, w2p)
-        colps.append(c)
-        xsps.append(x)
+        c1s[k, :p1.width + 1] = p1.counters
+        c2s[k, :p2.width + 1] = p2.counters
+        w1v[k], w2v[k] = p1.width, p2.width
+        k1v[k], k2v[k] = len(p1.data), len(p2.data)
 
-    def stack(ds):
-        return {k: jnp.asarray(
-            np.stack([d[k] for d in ds]).reshape((g, sb) + np.shape(ds[0][k])))
-            for k in ds[0]}
-
-    w1v = np.array([pairs[min(k, n - 1)][0].width for k in range(g * sb)],
-                   dtype=np.int32)
-    w2v = np.array([pairs[min(k, n - 1)][1].width for k in range(g * sb)],
-                   dtype=np.int32)
-
-    emits, dir0, total = _dp_pallas_tb(
-        stack(colps), stack(xsps), jnp.asarray(w1v), jnp.asarray(w2v),
-        sb, blk, w1p, w2p, interpret=interpret)
+    gp = (int(params.gap_open), int(params.gap_ext),
+          int(params.gap_term_open), int(params.gap_term_ext))
+    emits, dir0, total = _dp_pallas_tb_counters(
+        jnp.asarray(_shrink(c1s)), jnp.asarray(_shrink(c2s)),
+        jnp.asarray(w1v), jnp.asarray(w2v),
+        jnp.asarray(k1v), jnp.asarray(k2v),
+        jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64)),
+        gp, sb, blk, w1p, w2p, interpret=interpret)
     emits = np.asarray(emits)
     dir0 = np.asarray(dir0)
     total = np.asarray(total)
@@ -556,8 +731,8 @@ def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):
         xsps.append(x)
 
     def stack(ds):
-        return {k: jnp.asarray(
-            np.stack([d[k] for d in ds]).reshape((g, sb) + np.shape(ds[0][k])))
+        return {k: jnp.asarray(_shrink(
+            np.stack([d[k] for d in ds]).reshape((g, sb) + np.shape(ds[0][k]))))
             for k in ds[0]}
 
     dirs, fins = _dp_pallas(stack(colps), stack(xsps), sb, blk, w1p, w2p,
