@@ -268,17 +268,15 @@ def _split(x):
     return ((x >> np.int64(32)).astype(jnp.int32), x.astype(jnp.int32))
 
 
-def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
-    """Stage 1 + pallas_call; returns the raw kernel outputs
-    (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
-    Traced inside the jitted wrappers below.
+def _build_mats(colp, xs, w1p, w2p):
+    """Stage 1: the seven per-cell cost matrices as (hi, lo) i32 pairs.
+    Returns (w1m1, h0hi, h0lo, lastm, mats[14]).
 
     Inputs may arrive in narrower integer dtypes (host-side shrink to cut
     the upload; see _shrink) - everything is widened to i64 on device."""
     colp = {k: v.astype(jnp.int64) for k, v in colp.items()}
     xs = {k: v.astype(jnp.int64) for k, v in xs.items()}
     w2pe = w2p + LANE_PAD
-    g = colp["s2"].shape[0]
 
     def outer(rowv, colv):
         # rowv [G, sb, w1p] x colv [G, sb, w2pe] -> [G, w1p, sb, w2pe]
@@ -318,7 +316,123 @@ def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
     h0hi, h0lo = _split(colp["h0"])               # [G, sb, w2pe]
     lastm = colp["last_col_mask"].astype(jnp.int32)
     w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]   # [G, 1, sb]
+    return w1m1, h0hi, h0lo, lastm, mats
 
+
+def _srl(x, k):
+    """Logical right shift of an i32 bit pattern by constant k."""
+    return jax.lax.shift_right_logical(x, jnp.full(x.shape, k, x.dtype))
+
+
+def _pmul_u32(c, x):
+    """Exact (mod 2^64) product of a non-negative i32 scalar/array c
+    (0 <= c < 2^31) with an i64 value given as an (hi, lo) i32 pair.
+
+    Pure i32 ops (4x 16-bit partial products + carry assembly), so the XLA
+    TPU x64 legalizer never sees it and the whole chain fuses into one
+    vector loop - the emulated-i64 version of the same outer products ran
+    ~10x slower (unfused micro-kernels)."""
+    hi, lo = x
+    m16 = jnp.int32(0xFFFF)
+    a0 = c & m16
+    a1 = _srl(c, 16)
+    b0 = lo & m16
+    b1 = _srl(lo, 16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = _srl(p00, 16) + (p01 & m16) + (p10 & m16)
+    lo_out = (mid << 16) | (p00 & m16)
+    hi_mul = p11 + _srl(p01, 16) + _srl(p10, 16) + _srl(mid, 16)
+    return (c * hi + hi_mul, lo_out)
+
+
+def _build_mats_pairs(colp, xs, w1p, w2p):
+    """Stage 1 in explicit (hi, lo) i32-pair arithmetic: bit-identical to
+    _build_mats but ~10x faster on TPU (no s64 in the hot loop).
+
+    Layout note: every product is rowv [G, w1p, sb, 1] x colv
+    [G, 1, sb, w2pe] - broadcasting builds the [G, w1p, sb, w2pe] matrices
+    directly in the kernel's layout inside one fused XLA loop."""
+    w2pe = w2p + LANE_PAD
+
+    def sp_row(a):
+        # [G, sb, w1p] i64 -> (hi, lo) [G, w1p, sb, 1]
+        a = a.astype(jnp.int64).transpose(0, 2, 1)[:, :, :, None]
+        return _split(a)
+
+    def sp_col(a):
+        # [G, sb, w2pe] i64 -> (hi, lo) [G, 1, sb, w2pe]
+        a = a.astype(jnp.int64)[:, None, :, :]
+        return _split(a)
+
+    def row_u32(a):
+        # non-negative count-typed row operand -> i32 [G, w1p, sb, 1]
+        return a.astype(jnp.int32).transpose(0, 2, 1)[:, :, :, None]
+
+    def col_u32(a):
+        return a.astype(jnp.int32)[:, None, :, :]
+
+    def p_mul_rc(rows_cnt, col_pair):
+        return _pmul_u32(row_u32(rows_cnt), col_pair)
+
+    def p_mul_cr(row_pair, cols_cnt):
+        return _pmul_u32(col_u32(cols_cnt), row_pair)
+
+    c1 = xs["c1"]                     # [G, sb, w1p, 30] counts
+    t = p_mul_rc(c1[..., 0], sp_col(colp["s2"][..., 0]))
+    for s in range(1, NO_AMINOACIDS_AND_GAPS):
+        t = p_add(t, p_mul_rc(c1[..., s], sp_col(colp["s2"][..., s])))
+
+    p2g = colp["p2gaps"].astype(jnp.int64)
+    p2o, p2e = p2g[..., 0], p2g[..., 1]
+    p2to, p2te = p2g[..., 2], p2g[..., 3]
+
+    tmH = p_add(t, p_add(p_mul_rc(xs["n1c"], sp_col(p2e - p2o)),
+                         p_mul_rc(xs["n1tc"], sp_col(p2te - p2to))))
+    tmV = p_add(t, p_mul_rc(xs["col1nng"], sp_col(colp["gaps2_change"])))
+
+    # gvs/gvc: score-typed rows x count-typed cols (commuted operands)
+    gvs = p_add(p_add(p_mul_cr(sp_row(xs["s1go"]), colp["g2so"]),
+                      p_mul_cr(sp_row(xs["s1ge"]), colp["g2se"])),
+                p_add(p_mul_cr(sp_row(xs["s1gto"]), colp["g2sto"]),
+                      p_mul_cr(sp_row(xs["s1gte"]), colp["g2ste"])))
+    gvc = p_add(p_mul_cr(sp_row(xs["s1ge"]), colp["g2ce"]),
+                p_mul_cr(sp_row(xs["s1gte"]), colp["g2cte"]))
+    # v0_cost (col-0 V boundary, per row) rides in the dead lane 0 of gvc
+    lane0 = (jnp.arange(w2pe) == 0)[None, None, None, :]
+    v0hi, v0lo = sp_row(xs["v0_cost"])
+    gvc = (jnp.where(lane0, v0hi, gvc[0]), jnp.where(lane0, v0lo, gvc[1]))
+
+    ghs = p_add(p_add(p_mul_rc(xs["g1so"], sp_col(p2o)),
+                      p_mul_rc(xs["g1se"], sp_col(p2e))),
+                p_add(p_mul_rc(xs["g1sto"], sp_col(p2to)),
+                      p_mul_rc(xs["g1ste"], sp_col(p2te))))
+    ghc = p_add(p_mul_rc(xs["g1ce"], sp_col(p2e)),
+                p_mul_rc(xs["g1cte"], sp_col(p2te)))
+    z = jnp.int32(0)
+    ghc = (jnp.where(lane0, z, ghc[0]), jnp.where(lane0, z, ghc[1]))
+
+    g = colp["s2"].shape[0]
+    sb = colp["s2"].shape[1]
+    full = (g, w1p, sb, w2pe)
+    mats = []
+    for hi, lo in (t, tmH, tmV, gvs, gvc, ghs, ghc):
+        mats.append(jnp.broadcast_to(hi, full))
+        mats.append(jnp.broadcast_to(lo, full))
+
+    h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
+    lastm = colp["last_col_mask"].astype(jnp.int32)
+    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]     # [G, 1, sb]
+    return w1m1, h0hi, h0lo, lastm, mats
+
+
+def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
+                interpret=False):
+    """Stage 2: the Mosaic row-loop kernel over prebuilt cost matrices."""
+    w2pe = w2p + LANE_PAD
+    g = h0hi.shape[0]
     grid = (g, w1p // blk)
 
     def bm(bs, im):
@@ -354,6 +468,19 @@ def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
     return dirs_i32, fins
 
 
+def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
+    """Stage 1 + stage 2; returns the raw kernel outputs
+    (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
+    Traced inside the jitted wrappers below."""
+    import os
+    if os.environ.get("FAMSA_TPU_MATS_PAIRS", "1") == "1":
+        w1m1, h0hi, h0lo, lastm, mats = _build_mats_pairs(colp, xs, w1p, w2p)
+    else:
+        w1m1, h0hi, h0lo, lastm, mats = _build_mats(colp, xs, w1p, w2p)
+    return _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
+                       interpret=interpret)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
 def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
@@ -385,6 +512,8 @@ def _shrink(a):
     if a.size == 0:
         return a.astype(np.int16)
     m = abs(int(a.max(initial=0))) | abs(int(a.min(initial=0)))
+    if m < 2 ** 7:
+        return a.astype(np.int8)
     if m < 2 ** 15:
         return a.astype(np.int16)
     if m < 2 ** 31:

@@ -89,3 +89,56 @@ def test_dp_pallas_device_traceback():
         path, total = _trace_path(ref, p1.width, p2.width)
         assert g.total == total
         assert g.path == path
+
+
+def test_build_mats_pairs_parity():
+    """_build_mats_pairs (i32-pair stage 1) vs _build_mats (i64 reference)
+    on synthetic inputs with large magnitudes that exercise every carry
+    path (counts up to 2^20, scores up to ~2^45)."""
+    import jax.numpy as jnp
+
+    from famsa_tpu.ops import dp_pallas as dpp
+
+    rng = np.random.default_rng(123)
+    g, sb, w1p, w2p = 2, 3, 16, 24
+    w2pe = w2p + dpp.LANE_PAD
+
+    def cnt(*shape):
+        return rng.integers(0, 2 ** 20, size=shape).astype(np.int64)
+
+    def sc(*shape):
+        return rng.integers(-2 ** 45, 2 ** 45, size=shape).astype(np.int64)
+
+    colp = dict(
+        s2=sc(g, sb, w2pe, 30),
+        p2gaps=sc(g, sb, w2pe, 4),
+        gaps2_change=sc(g, sb, w2pe),
+        h0=sc(g, sb, w2pe),
+        last_col_mask=(rng.integers(0, 2, size=(g, sb, w2pe))).astype(np.int64),
+        g2so=cnt(g, sb, w2pe), g2se=cnt(g, sb, w2pe),
+        g2sto=cnt(g, sb, w2pe), g2ste=cnt(g, sb, w2pe),
+        g2ce=cnt(g, sb, w2pe), g2cte=cnt(g, sb, w2pe),
+    )
+    xs = dict(
+        c1=rng.integers(0, 2 ** 16, size=(g, sb, w1p, 30)).astype(np.int64),
+        col1nng=cnt(g, sb, w1p),
+        n1c=cnt(g, sb, w1p), n1tc=cnt(g, sb, w1p),
+        s1go=sc(g, sb, w1p), s1ge=sc(g, sb, w1p),
+        s1gto=sc(g, sb, w1p), s1gte=sc(g, sb, w1p),
+        g1so=cnt(g, sb, w1p), g1se=cnt(g, sb, w1p),
+        g1sto=cnt(g, sb, w1p), g1ste=cnt(g, sb, w1p),
+        g1ce=cnt(g, sb, w1p), g1cte=cnt(g, sb, w1p),
+        v0_cost=sc(g, sb, w1p),
+        w1m1=rng.integers(1, w1p, size=(g, sb)).astype(np.int64),
+    )
+    colj = {k: jnp.asarray(v) for k, v in colp.items()}
+    xsj = {k: jnp.asarray(v) for k, v in xs.items()}
+
+    ref = dpp._build_mats(colj, xsj, w1p, w2p)
+    got = dpp._build_mats_pairs(colj, xsj, w1p, w2p)
+
+    for a, b, name in [(ref[0], got[0], "w1m1"), (ref[1], got[1], "h0hi"),
+                       (ref[2], got[2], "h0lo"), (ref[3], got[3], "lastm")]:
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    for k, (a, b) in enumerate(zip(ref[4], got[4])):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), f"mat {k}"
