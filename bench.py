@@ -79,12 +79,26 @@ def main():
 
     if on_tpu:
         # production TPU path: Mosaic DP kernel + on-device traceback
-        # (only the O(W) paths and final scores leave the device)
+        # (only the O(W) paths and final scores leave the device); batches
+        # are dispatched async and resolved in order, exactly like the
+        # pipeline's level scheduler (pipeline.py:_compute_alignment_batched)
         from famsa_tpu.ops.dp_pallas import (_pallas_bucket as _bucket,
-                                             dp_profile_pallas_paths as _dp)
+                                             dp_profile_pallas_paths_async)
+
+        def _dp(params, pairs):
+            return dp_profile_pallas_paths_async(params, pairs)
+
+        def _drain(pending):
+            return [p.resolve() for p in pending]
     else:
         from famsa_tpu.ops.dp_jax import _bucket
-        from famsa_tpu.ops.dp_jax import dp_profile_jax_batched as _dp
+        from famsa_tpu.ops.dp_jax import dp_profile_jax_batched as _dp_sync
+
+        def _dp(params, pairs):
+            return _dp_sync(params, pairs)
+
+        def _drain(pending):
+            return pending
 
     params = Params()
     params.adjust(1000)
@@ -99,13 +113,13 @@ def main():
 
     # warmup / compile
     t0 = time.perf_counter()
-    _dp(params, pairs)
+    _drain([_dp(params, pairs)])
     print(f"compile+first run: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
     n_iter = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = _dp(params, pairs)   # materializes results (paths + scores)
+    # pipelined: all batches in flight, then resolve (paths + scores)
+    _drain([_dp(params, pairs) for _ in range(n_iter)])
     dt = (time.perf_counter() - t0) / n_iter
 
     wp = _bucket(pairs[0][0].width)

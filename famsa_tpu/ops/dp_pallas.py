@@ -62,13 +62,13 @@ def _pallas_bucket(w):
     return max(128, _bucket(w))
 
 
-def _row_block(sb, w2pe):
+def _row_block(sb, w2pe, n_mats=14):
     """Rows per grid step: small enough that double-buffered matrix blocks
     fit VMEM AND the statically-unrolled row loop keeps code size sane
     (rows are unrolled in the kernel body; dynamic row indexing into VMEM
     lowers pathologically on Mosaic)."""
     for blk in (8, 4, 2, 1):
-        if 14 * blk * sb * w2pe * 4 * 2 <= 9 * 1024 * 1024:
+        if n_mats * blk * sb * w2pe * 4 * 2 <= 9 * 1024 * 1024:
             return blk
     return 1
 
@@ -107,11 +107,17 @@ def p_max(x, y):
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
-def _make_kernel(sb, blk, w2pe):
-    def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref,
-               tmDh, tmDl, tmHh, tmHl, tmVh, tmVl,
-               gvsh, gvsl, gvch, gvcl, ghsh, ghsl, ghch, ghcl,
-               dirs_ref, fin_ref, prev_ref):
+def _make_kernel(sb, blk, w2pe, single=False):
+    def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, *rest):
+        if single:
+            # 7 single-word mats: hi = sign extension (values < 2^31)
+            (tmDl, tmHl, tmVl, gvsl, gvcl, ghsl, ghcl,
+             dirs_ref, fin_ref, prev_ref) = rest
+            tmDh = tmHh = tmVh = gvsh = gvch = ghsh = ghch = None
+        else:
+            (tmDh, tmDl, tmHh, tmHl, tmVh, tmVl,
+             gvsh, gvsl, gvch, gvcl, ghsh, ghsl, ghch, ghcl,
+             dirs_ref, fin_ref, prev_ref) = rest
         i = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (sb, w2pe), 1)
         c_D, c_H, c_V = jnp.int32(_D), jnp.int32(_H), jnp.int32(_V)
@@ -167,16 +173,22 @@ def _make_kernel(sb, blk, w2pe):
             pD, pH, pV = carry
             glob_r = i * np.int32(blk) + np.int32(r)
 
-            def mrow(ref):
-                return ref[0, r, :, :]                # [sb, w2pe]
+            if single:
+                def mrow2(_, ref_lo):
+                    lo = ref_lo[0, r, :, :]           # [sb, w2pe]
+                    return (jax.lax.shift_right_arithmetic(
+                        lo, jnp.full(lo.shape, 31, lo.dtype)), lo)
+            else:
+                def mrow2(ref_hi, ref_lo):
+                    return (ref_hi[0, r, :, :], ref_lo[0, r, :, :])
 
-            tmD = (mrow(tmDh), mrow(tmDl))
-            tmH = (mrow(tmHh), mrow(tmHl))
-            tmV = (mrow(tmVh), mrow(tmVl))
-            gvs = (mrow(gvsh), mrow(gvsl))
-            gvc = (mrow(gvch), mrow(gvcl))
-            ghs = (mrow(ghsh), mrow(ghsl))
-            ghc = (mrow(ghch), mrow(ghcl))
+            tmD = mrow2(tmDh, tmDl)
+            tmH = mrow2(tmHh, tmHl)
+            tmV = mrow2(tmVh, tmVl)
+            gvs = mrow2(gvsh, gvsl)
+            gvc = mrow2(gvch, gvcl)
+            ghs = mrow2(ghsh, ghsl)
+            ghc = mrow2(ghch, ghcl)
 
             # ---- D channel (previous row, col j-1) ----
             hD, hH, hV = shf(pD), shf(pH), shf(pV)
@@ -428,8 +440,60 @@ def _build_mats_pairs(colp, xs, w1p, w2p):
     return w1m1, h0hi, h0lo, lastm, mats
 
 
+def _build_mats_single(colp, xs, w1p, w2p):
+    """Stage 1 when every cost-matrix value provably fits i32 (see
+    dp_profile_pallas_paths: 3 * card1 * card2 * C < 2^31): plain i32
+    muls/adds, 7 single-word matrices; the kernel sign-extends on read.
+    ~10x less stage-1 arithmetic and half the HBM traffic vs the pair
+    path; bit-identical within its validity domain."""
+    w2pe = w2p + LANE_PAD
+
+    def row(a):
+        return a.astype(jnp.int32).transpose(0, 2, 1)[:, :, :, None]
+
+    def col(a):
+        return a.astype(jnp.int32)[:, None, :, :]
+
+    c1 = xs["c1"]                     # [G, sb, w1p, 30] counts
+    s2 = colp["s2"]
+    t = row(c1[..., 0]) * col(s2[..., 0])
+    for s in range(1, NO_AMINOACIDS_AND_GAPS):
+        t = t + row(c1[..., s]) * col(s2[..., s])
+
+    p2g = colp["p2gaps"].astype(jnp.int32)
+    p2o, p2e = p2g[..., 0], p2g[..., 1]
+    p2to, p2te = p2g[..., 2], p2g[..., 3]
+
+    tmH = (t + row(xs["n1c"]) * col(p2e - p2o)
+           + row(xs["n1tc"]) * col(p2te - p2to))
+    tmV = t + row(xs["col1nng"]) * col(colp["gaps2_change"])
+    gvs = (row(xs["s1go"]) * col(colp["g2so"])
+           + row(xs["s1ge"]) * col(colp["g2se"])
+           + row(xs["s1gto"]) * col(colp["g2sto"])
+           + row(xs["s1gte"]) * col(colp["g2ste"]))
+    gvc = (row(xs["s1ge"]) * col(colp["g2ce"])
+           + row(xs["s1gte"]) * col(colp["g2cte"]))
+    lane0 = (jnp.arange(w2pe) == 0)[None, None, None, :]
+    gvc = jnp.where(lane0, row(xs["v0_cost"]), gvc)
+    ghs = (row(xs["g1so"]) * col(p2o) + row(xs["g1se"]) * col(p2e)
+           + row(xs["g1sto"]) * col(p2to) + row(xs["g1ste"]) * col(p2te))
+    ghc = row(xs["g1ce"]) * col(p2e) + row(xs["g1cte"]) * col(p2te)
+    ghc = jnp.where(lane0, jnp.int32(0), ghc)
+
+    g = s2.shape[0]
+    sb = s2.shape[1]
+    full = (g, w1p, sb, w2pe)
+    mats = [jnp.broadcast_to(m, full)
+            for m in (t, tmH, tmV, gvs, gvc, ghs, ghc)]
+
+    h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
+    lastm = colp["last_col_mask"].astype(jnp.int32)
+    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]     # [G, 1, sb]
+    return w1m1, h0hi, h0lo, lastm, mats
+
+
 def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
-                interpret=False):
+                interpret=False, single=False):
     """Stage 2: the Mosaic row-loop kernel over prebuilt cost matrices."""
     w2pe = w2p + LANE_PAD
     g = h0hi.shape[0]
@@ -445,7 +509,7 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0hi
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0lo
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # lastm
-    ] + [mat_spec] * 14
+    ] + [mat_spec] * len(mats)
 
     out_shape = [
         jax.ShapeDtypeStruct((g, w1p, sb, w2pe), jnp.int32),   # dirs
@@ -457,7 +521,7 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
     ]
 
     dirs_i32, fins = pl.pallas_call(
-        _make_kernel(sb, blk, w2pe),
+        _make_kernel(sb, blk, w2pe, single=single),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -468,28 +532,34 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
     return dirs_i32, fins
 
 
-def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False):
+def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
+                   single=False):
     """Stage 1 + stage 2; returns the raw kernel outputs
     (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
     Traced inside the jitted wrappers below."""
     import os
-    if os.environ.get("FAMSA_TPU_MATS_PAIRS", "1") == "1":
+    if single:
+        w1m1, h0hi, h0lo, lastm, mats = _build_mats_single(
+            colp, xs, w1p, w2p)
+    elif os.environ.get("FAMSA_TPU_MATS_PAIRS", "1") == "1":
         w1m1, h0hi, h0lo, lastm, mats = _build_mats_pairs(colp, xs, w1p, w2p)
     else:
         w1m1, h0hi, h0lo, lastm, mats = _build_mats(colp, xs, w1p, w2p)
     return _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
-                       interpret=interpret)
+                       interpret=interpret, single=single)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
-def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False):
+                   static_argnames=("sb", "blk", "w1p", "w2p", "interpret",
+                                    "single"))
+def _dp_pallas(colp, xs, sb, blk, w1p, w2p, interpret=False, single=False):
     """colp/xs: stacked arrays with leading dims [G, sb, ...] (G groups of
     sb merges).  Returns (dirs u8 [G*sb, w1p+1, w2p+1],
     finals i32 [G, w1p, sb, 8])."""
     w2pe = w2p + LANE_PAD
     g = colp["s2"].shape[0]
-    dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret)
+    dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret,
+                                    single)
 
     # [G, w1p, sb, w2pe] -> [G*sb, w1p+1, w2p+1] u8 with the constant row 0
     dirs = dirs_i32[..., :w2p + 1].astype(jnp.uint8)
@@ -721,7 +791,8 @@ def _traceback_one(dirs_m, w1, w2, dir0, steps):
     return emits
 
 
-def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
+def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
+             single=False):
     """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
     true widths.  Returns (emits [B, w1p+w2p] i32, dir0 [B] i32,
     total [B] i64).  Direction matrices never leave the device."""
@@ -729,7 +800,8 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
     g = colp["s2"].shape[0]
     b = g * sb
 
-    dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret)
+    dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret,
+                                    single)
     # [G, w1p, sb, w2pe] -> [B, w1p, w2pe]
     dirs_m = dirs_i32.transpose(0, 2, 1, 3).reshape(b, w1p, w2pe)
 
@@ -754,20 +826,22 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False):
 
     emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
         dirs_m, w1v, w2v, dir0, w1p + w2p)
-    return emits, dir0, total
+    # ONE packed i32 output: every device->host pull costs a ~26 ms tunnel
+    # round trip, so emits/dir0/total ride in a single array
+    # [B, (w1p+w2p) + 3]: ..., dir0, total_hi, total_lo
+    tot_hi = (total >> np.int64(32)).astype(jnp.int32)
+    tot_lo = total.astype(jnp.int32)
+    return jnp.concatenate(
+        [emits, dir0[:, None], tot_hi[:, None], tot_lo[:, None]], axis=1)
 
 
 _dp_pallas_tb = jax.jit(
-    _tb_impl, static_argnames=("sb", "blk", "w1p", "w2p", "interpret"))
+    _tb_impl, static_argnames=("sb", "blk", "w1p", "w2p", "interpret",
+                               "single"))
 
 
-@functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
-                                             "interpret"))
-def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                           sb, blk, w1p, w2p, interpret=False):
-    """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
-    dtype), w1v/w2v/card1v/card2v [B] i32, sm [24,24] i64, gp static gap
-    costs.  Stage 0 (scores, gap corrections, boundaries) runs on device."""
+def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
+                      sb, blk, w1p, w2p, interpret, single):
     b = c1s.shape[0]
     g = b // sb
 
@@ -780,7 +854,62 @@ def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
     colp, xs = jax.vmap(one)(c1s, c2s, w1v, w2v, card1v, card2v)
     colp = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in colp.items()}
     xs = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in xs.items()}
-    return _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret)
+    return _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret, single)
+
+
+@functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
+                                             "interpret", "single"))
+def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
+                           sb, blk, w1p, w2p, interpret=False, single=False):
+    """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
+    dtype), w1v/w2v/card1v/card2v [B] i32, sm [24,24] i64, gp static gap
+    costs.  Stage 0 (scores, gap corrections, boundaries) runs on device."""
+    return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
+                             sb, blk, w1p, w2p, interpret, single)
+
+
+def _coo_dense(idx, val, wp):
+    """Scatter-add COO counters ([B, nnzb] i32 flat indices col*32+sym,
+    [B, nnzb] values) into dense [B, wp+1, 32] i32.  Padding entries are
+    (0, 0): adding zero to cell (0, 0) is a no-op."""
+    b = idx.shape[0]
+    flat = jnp.zeros((b, (wp + 1) * 32), jnp.int32)
+    flat = flat.at[jnp.arange(b)[:, None], idx].add(val.astype(jnp.int32))
+    return flat.reshape(b, wp + 1, 32)
+
+
+@functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
+                                             "interpret", "single"))
+def _dp_pallas_tb_coo(idx1, val1, idx2, val2, w1v, w2v, card1v, card2v,
+                      sm, gp, sb, blk, w1p, w2p, interpret=False,
+                      single=False):
+    """COO-upload variant: the counter tensors are mostly zero (a profile
+    column holds a handful of distinct symbols), so the host ships only
+    the nonzeros - the dominant cost of a dispatch through the tunnel is
+    the host->device transfer (~15-50 MB/s)."""
+    c1s = _coo_dense(idx1, val1, w1p)
+    c2s = _coo_dense(idx2, val2, w2p)
+    return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
+                             sb, blk, w1p, w2p, interpret, single)
+
+
+def _coo_pack(pairs, n, b, side):
+    """[B, nnzb] (idx i32, val shrunk) arrays for profile side 0/1."""
+    nzs = []
+    for k in range(b):
+        p = pairs[min(k, n - 1)][side]
+        ii, ss = np.nonzero(p.counters)
+        nzs.append((ii.astype(np.int64) * 32 + ss, p.counters[ii, ss]))
+    nnz_max = max(len(ix) for ix, _ in nzs)
+    nnzb = 256
+    while nnzb < nnz_max:
+        nnzb *= 2
+    idx = np.zeros((b, nnzb), dtype=np.int32)
+    val = np.zeros((b, nnzb), dtype=np.int64)
+    for k, (ix, v) in enumerate(nzs):
+        idx[k, :len(ix)] = ix
+        val[k, :len(v)] = v
+    return idx, _shrink(val)
 
 
 class JaxPathResult:
@@ -793,52 +922,108 @@ class JaxPathResult:
         self.total = total
 
 
-def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False):
-    """Batched DP + device traceback: returns [JaxPathResult] per pair.
-    The host uploads only the raw [W+1, 32] counter tensors (narrowed to
-    i8/i16 when the cardinality allows) and pulls only the O(W) paths."""
+def _single_word_ok(params, pairs):
+    """True iff every cost-matrix value of every merge provably fits i32:
+    |mat| <= 3 * card1 * card2 * C with C = max |substitution score| +
+    sum |gap costs| (see _build_mats_single)."""
+    c = int(np.abs(np.asarray(params.score_matrix, dtype=np.int64)).max())
+    c += sum(abs(int(x)) for x in (params.gap_open, params.gap_ext,
+                                   params.gap_term_open,
+                                   params.gap_term_ext))
+    prod = max(len(p1.data) * len(p2.data) for p1, p2 in pairs)
+    return 3 * prod * c < 2 ** 31
+
+
+class PendingPaths:
+    """In-flight batched DP dispatch: a single packed device array
+    [B, steps+3] (emits..., dir0, total_hi, total_lo) not yet pulled.
+    resolve() blocks, pulls the O(W) paths in ONE transfer and returns
+    [JaxPathResult].  Dispatching several batches before resolving
+    pipelines host packing + uploads against device compute."""
+
+    def __init__(self, packed, n):
+        self._packed = packed
+        self._n = n
+
+    def resolve(self):
+        arr = np.asarray(self._packed)
+        emits = arr[:, :-3]
+        dir0 = arr[:, -3]
+        total = (arr[:, -2].astype(np.int64) << np.int64(32)) | \
+            (arr[:, -1].astype(np.int64) & np.int64(0xFFFFFFFF))
+        out = []
+        for k in range(self._n):
+            e = emits[k]
+            stop = np.argmax(e == 3) if (e == 3).any() else len(e)
+            full = [int(dir0[k])] + [int(x) for x in e[:stop]]
+            full.reverse()
+            out.append(JaxPathResult(full[1:], int(total[k])))
+        return out
+
+
+def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
+                                  single=None):
+    """Batched DP + device traceback, dispatched without blocking: returns
+    a PendingPaths.  The host uploads only the nonzero counter entries
+    (COO) or narrow dense counters and pulls only the O(W) paths."""
     n = len(pairs)
     if sb is None:
         sb = 8 if n >= 5 else 1
+    if single is None:
+        single = _single_word_ok(params, pairs)
     w1p = max(_pallas_bucket(p1.width) for p1, _ in pairs)
     w2p = max(_pallas_bucket(p2.width) for _, p2 in pairs)
-    blk = _row_block(sb, w2p + LANE_PAD)
+    blk = _row_block(sb, w2p + LANE_PAD, n_mats=7 if single else 14)
 
     g = (n + sb - 1) // sb
     b = g * sb
-    c1s = np.zeros((b, w1p + 1, 32), dtype=np.int64)
-    c2s = np.zeros((b, w2p + 1, 32), dtype=np.int64)
     w1v = np.empty(b, dtype=np.int32)
     w2v = np.empty(b, dtype=np.int32)
     k1v = np.empty(b, dtype=np.int32)
     k2v = np.empty(b, dtype=np.int32)
     for k in range(b):
         p1, p2 = pairs[min(k, n - 1)]
-        c1s[k, :p1.width + 1] = p1.counters
-        c2s[k, :p2.width + 1] = p2.counters
         w1v[k], w2v[k] = p1.width, p2.width
         k1v[k], k2v[k] = len(p1.data), len(p2.data)
 
     gp = (int(params.gap_open), int(params.gap_ext),
           int(params.gap_term_open), int(params.gap_term_ext))
-    emits, dir0, total = _dp_pallas_tb_counters(
-        jnp.asarray(_shrink(c1s)), jnp.asarray(_shrink(c2s)),
-        jnp.asarray(w1v), jnp.asarray(w2v),
-        jnp.asarray(k1v), jnp.asarray(k2v),
-        jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64)),
-        gp, sb, blk, w1p, w2p, interpret=interpret)
-    emits = np.asarray(emits)
-    dir0 = np.asarray(dir0)
-    total = np.asarray(total)
+    sm = jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64))
+    common = (jnp.asarray(w1v), jnp.asarray(w2v),
+              jnp.asarray(k1v), jnp.asarray(k2v), sm)
 
-    out = []
-    for k in range(n):
-        e = emits[k]
-        stop = np.argmax(e == 3) if (e == 3).any() else len(e)
-        full = [int(dir0[k])] + [int(x) for x in e[:stop]]
-        full.reverse()
-        out.append(JaxPathResult(full[1:], int(total[k])))
-    return out
+    idx1, val1 = _coo_pack(pairs, n, b, 0)
+    idx2, val2 = _coo_pack(pairs, n, b, 1)
+    coo_bytes = idx1.nbytes + val1.nbytes + idx2.nbytes + val2.nbytes
+    dense_itemsize = _shrink(np.array([max(k1v.max(), k2v.max())],
+                                      dtype=np.int64)).itemsize
+    dense_bytes = b * (w1p + w2p + 2) * 32 * dense_itemsize
+
+    if coo_bytes < 0.6 * dense_bytes:
+        packed = _dp_pallas_tb_coo(
+            jnp.asarray(idx1), jnp.asarray(val1),
+            jnp.asarray(idx2), jnp.asarray(val2), *common,
+            gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
+            interpret=interpret, single=single)
+    else:
+        c1s = np.zeros((b, w1p + 1, 32), dtype=np.int64)
+        c2s = np.zeros((b, w2p + 1, 32), dtype=np.int64)
+        for k in range(b):
+            p1, p2 = pairs[min(k, n - 1)]
+            c1s[k, :p1.width + 1] = p1.counters
+            c2s[k, :p2.width + 1] = p2.counters
+        packed = _dp_pallas_tb_counters(
+            jnp.asarray(_shrink(c1s)), jnp.asarray(_shrink(c2s)), *common,
+            gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
+            interpret=interpret, single=single)
+    return PendingPaths(packed, n)
+
+
+def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False,
+                            single=None):
+    """Blocking variant: dispatch one batch and pull its paths."""
+    return dp_profile_pallas_paths_async(
+        params, pairs, sb=sb, interpret=interpret, single=single).resolve()
 
 
 def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):

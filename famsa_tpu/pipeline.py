@@ -199,10 +199,22 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
 
     if _jax.default_backend() == "tpu" and \
             os.environ.get("FAMSA_TPU_DP_PALLAS", "1") == "1":
-        # Mosaic DP + on-device traceback: only O(W) path bytes are pulled
-        from .ops.dp_pallas import dp_profile_pallas_paths as _dp_batched
+        # Mosaic DP + on-device traceback: only O(W) path bytes are pulled;
+        # async dispatch pipelines the level's batches through the tunnel
+        from .ops.dp_pallas import dp_profile_pallas_paths_async
+
+        def _dispatch(params, prs):
+            return dp_profile_pallas_paths_async(params, prs)
     else:
-        _dp_batched = dp_profile_jax_batched
+        class _SyncPending:
+            def __init__(self, results):
+                self._results = results
+
+            def resolve(self):
+                return self._results
+
+        def _dispatch(params, prs):
+            return _SyncPending(dp_profile_jax_batched(params, prs))
 
     max_batch = int(os.environ.get("FAMSA_TPU_MAX_BATCH", "8"))
     n = len(gapped_sequences)
@@ -277,15 +289,19 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
             key = (_bucket(p1.width), _bucket(p2.width))
             groups.setdefault(key, []).append((node_id, p1, p2))
 
+        # dispatch every chunk of the level first (uploads/compute of
+        # chunk k+1 overlap the pull/construct of chunk k), then resolve
+        pending = []
         for key, items in groups.items():
             for k0 in range(0, len(items), max_batch):
                 chunk = items[k0:k0 + max_batch]
-                results = _dp_batched(
-                    params, [(p1, p2) for _, p1, p2 in chunk])
-                for (node_id, p1, p2), res in zip(chunk, results):
-                    dest = Profile(params)
-                    _construct(dest, p1, p2, res)
-                    done[node_id] = dest
+                pending.append((chunk, _dispatch(
+                    params, [(p1, p2) for _, p1, p2 in chunk])))
+        for chunk, pnd in pending:
+            for (node_id, p1, p2), res in zip(chunk, pnd.resolve()):
+                dest = Profile(params)
+                _construct(dest, p1, p2, res)
+                done[node_id] = dest
 
         for node_id in batch_nodes:
             parent = parent_of.get(node_id)

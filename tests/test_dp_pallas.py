@@ -142,3 +142,31 @@ def test_build_mats_pairs_parity():
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
     for k, (a, b) in enumerate(zip(ref[4], got[4])):
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"mat {k}"
+
+
+def test_dp_pallas_single_word_parity():
+    """Forced single-word i32 stage 1 vs forced pair stage 1 vs host
+    traceback reference - all three must agree exactly."""
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.ops.dp_jax import dp_profile_jax
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_paths
+
+    rng = np.random.default_rng(17)
+    params = Params()
+    params.adjust(50)
+
+    pairs = []
+    for k in range(5):
+        p1 = _make_profile(rng, params, 2 + (k % 3), 28 + 13 * k)
+        p2 = _make_profile(rng, params, 1 + (k % 4), 70 - 7 * k)
+        pairs.append((p1, p2))
+
+    got_s = dp_profile_pallas_paths(params, pairs, sb=8, interpret=True,
+                                    single=True)
+    got_p = dp_profile_pallas_paths(params, pairs, sb=8, interpret=True,
+                                    single=False)
+    for (p1, p2), gs, gpr in zip(pairs, got_s, got_p):
+        ref = dp_profile_jax(params, p1, p2)
+        path, total = _trace_path(ref, p1.width, p2.width)
+        assert gs.total == total and gpr.total == total
+        assert gs.path == path and gpr.path == path
