@@ -106,7 +106,7 @@ def main():
 
     w = int(os.environ.get("BENCH_W", "2048"))
     card = int(os.environ.get("BENCH_CARD", "64"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     pairs = [( _random_profile(rng, params, card, w),
                _random_profile(rng, params, card, w)) for _ in range(batch)]

@@ -216,7 +216,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
         def _dispatch(params, prs):
             return _SyncPending(dp_profile_jax_batched(params, prs))
 
-    max_batch = int(os.environ.get("FAMSA_TPU_MAX_BATCH", "8"))
+    max_batch = int(os.environ.get("FAMSA_TPU_MAX_BATCH", "16"))
     n = len(gapped_sequences)
     ref_thr = params.thr_internal_refinement
 
