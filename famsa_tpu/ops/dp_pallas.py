@@ -107,18 +107,53 @@ def p_max(x, y):
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
+def _k_srl(x, k):
+    return jax.lax.shift_right_logical(x, jnp.full(x.shape, k, x.dtype))
+
+
+def _k_pmul_u32(c, x):
+    """In-kernel exact (mod 2^64) product of a non-negative i32 count
+    (broadcastable, < 2^31) with an (hi, lo) i32 pair (see _pmul_u32)."""
+    hi, lo = x
+    m16 = jnp.int32(0xFFFF)
+    a0 = c & m16
+    a1 = _k_srl(c, 16)
+    b0 = lo & m16
+    b1 = _k_srl(lo, 16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = _k_srl(p00, 16) + (p01 & m16) + (p10 & m16)
+    lo_out = (mid << 16) | (p00 & m16)
+    hi_mul = p11 + _k_srl(p01, 16) + _k_srl(p10, 16) + _k_srl(mid, 16)
+    return (c * hi + hi_mul, lo_out)
+
+
 def _make_kernel(sb, blk, w2pe, single=False):
-    def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, *rest):
+    def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, colf_ref, rowf_ref,
+               *rest):
         if single:
-            # 7 single-word mats: hi = sign extension (values < 2^31)
-            (tmDl, tmHl, tmVl, gvsl, gvcl, ghsl, ghcl,
-             dirs_ref, fin_ref, prev_ref) = rest
-            tmDh = tmHh = tmVh = gvsh = gvch = ghsh = ghch = None
+            # 3 single-word mats: hi = sign extension (values < 2^31);
+            # the rank<=4 gap matrices (gvs/gvc/ghs/ghc) are computed
+            # per row from column factors x per-row scalars (1 i32 mul
+            # per feature - the single-word bound covers every term)
+            tmDl, tmHl, tmVl, dirs_ref, fin_ref, prev_ref = rest
+            tmDh = tmHh = tmVh = None
         else:
             (tmDh, tmDl, tmHh, tmHl, tmVh, tmVl,
              gvsh, gvsl, gvch, gvcl, ghsh, ghsl, ghch, ghcl,
              dirs_ref, fin_ref, prev_ref) = rest
         i = pl.program_id(1)
+        # lane-cumsums of the ghc column factors (lane0-zeroed p2e / p2te):
+        # bc_row = g1ce[r] * cumE + g1cte[r] * cumT replaces the log-depth
+        # in-kernel p_cumsum (12 cross-lane rolls per row)
+        cumE = (colf_ref[0, 0, :, :], colf_ref[0, 1, :, :])
+        cumT = (colf_ref[0, 2, :, :], colf_ref[0, 3, :, :])
+        if single:
+            (g2so_c, g2se_c, g2sto_c, g2ste_c, g2ce_c, g2cte_c,
+             p2o_c, p2e_c, p2to_c, p2te_c) = (
+                colf_ref[0, 4 + k, :, :] for k in range(10))
         lane = jax.lax.broadcasted_iota(jnp.int32, (sb, w2pe), 1)
         c_D, c_H, c_V = jnp.int32(_D), jnp.int32(_H), jnp.int32(_V)
         neg = (jnp.full((sb, w2pe), NEG_HI, jnp.int32),
@@ -129,16 +164,6 @@ def _make_kernel(sb, blk, w2pe, single=False):
             """lane j <- lane j-1; lane 0 <- -inf (the 'head' alignment)."""
             return (jnp.where(lane == 0, NEG_HI, jnp.roll(x[0], 1, axis=1)),
                     jnp.where(lane == 0, NEG_LO, jnp.roll(x[1], 1, axis=1)))
-
-        def p_cumsum(x):
-            h, l = x
-            k = 1
-            while k < w2pe:
-                hs = jnp.where(lane >= k, jnp.roll(h, k, axis=1), jnp.int32(0))
-                ls = jnp.where(lane >= k, jnp.roll(l, k, axis=1), jnp.int32(0))
-                h, l = p_add((h, l), (hs, ls))
-                k *= 2
-            return h, l
 
         def p_cummax(x):
             h, l = x
@@ -173,11 +198,13 @@ def _make_kernel(sb, blk, w2pe, single=False):
             pD, pH, pV = carry
             glob_r = i * np.int32(blk) + np.int32(r)
 
+            def sx(lo):
+                return (jax.lax.shift_right_arithmetic(
+                    lo, jnp.full(lo.shape, 31, lo.dtype)), lo)
+
             if single:
                 def mrow2(_, ref_lo):
-                    lo = ref_lo[0, r, :, :]           # [sb, w2pe]
-                    return (jax.lax.shift_right_arithmetic(
-                        lo, jnp.full(lo.shape, 31, lo.dtype)), lo)
+                    return sx(ref_lo[0, r, :, :])     # [sb, w2pe]
             else:
                 def mrow2(ref_hi, ref_lo):
                     return (ref_hi[0, r, :, :], ref_lo[0, r, :, :])
@@ -185,10 +212,25 @@ def _make_kernel(sb, blk, w2pe, single=False):
             tmD = mrow2(tmDh, tmDl)
             tmH = mrow2(tmHh, tmHl)
             tmV = mrow2(tmVh, tmVl)
-            gvs = mrow2(gvsh, gvsl)
-            gvc = mrow2(gvch, gvcl)
-            ghs = mrow2(ghsh, ghsl)
-            ghc = mrow2(ghch, ghcl)
+            if single:
+                def rf(k):
+                    return rowf_ref[0, r, :, k:k + 1]  # (sb, 1)
+
+                s1go_r, s1ge_r, s1gto_r, s1gte_r = rf(2), rf(3), rf(4), rf(5)
+                g1so_r, g1se_r, g1sto_r, g1ste_r = rf(6), rf(7), rf(8), rf(9)
+                gvs = sx(s1go_r * g2so_c + s1ge_r * g2se_c
+                         + s1gto_r * g2sto_c + s1gte_r * g2ste_c)
+                gvc_lo = s1ge_r * g2ce_c + s1gte_r * g2cte_c
+                gvc = sx(jnp.where(lane == 0, rf(10), gvc_lo))
+                ghs = sx(g1so_r * p2o_c + g1se_r * p2e_c
+                         + g1sto_r * p2to_c + g1ste_r * p2te_c)
+                ghc_lo = rf(0) * p2e_c + rf(1) * p2te_c
+                ghc = sx(jnp.where(lane == 0, jnp.int32(0), ghc_lo))
+            else:
+                gvs = mrow2(gvsh, gvsl)
+                gvc = mrow2(gvch, gvcl)
+                ghs = mrow2(ghsh, ghsl)
+                ghc = mrow2(ghch, ghcl)
 
             # ---- D channel (previous row, col j-1) ----
             hD, hH, hV = shf(pD), shf(pH), shf(pV)
@@ -226,7 +268,9 @@ def _make_kernel(sb, blk, w2pe, single=False):
             mD = p_add(shf(D), ghs)
             mV = p_add(shf(V), ghs)
             m = p_where(three, p_max(mD, mV), mD)
-            bc = p_cumsum(ghc)
+            g1ce_r = rowf_ref[0, r, :, 0:1]           # (sb, 1) counts
+            g1cte_r = rowf_ref[0, r, :, 1:2]
+            bc = p_add(_k_pmul_u32(g1ce_r, cumE), _k_pmul_u32(g1cte_r, cumT))
             run = p_cummax(p_sub(m, bc))
             H = p_add(bc, p_max(run, neg))
             H = p_where(lane == 0, neg, H)
@@ -467,24 +511,13 @@ def _build_mats_single(colp, xs, w1p, w2p):
     tmH = (t + row(xs["n1c"]) * col(p2e - p2o)
            + row(xs["n1tc"]) * col(p2te - p2to))
     tmV = t + row(xs["col1nng"]) * col(colp["gaps2_change"])
-    gvs = (row(xs["s1go"]) * col(colp["g2so"])
-           + row(xs["s1ge"]) * col(colp["g2se"])
-           + row(xs["s1gto"]) * col(colp["g2sto"])
-           + row(xs["s1gte"]) * col(colp["g2ste"]))
-    gvc = (row(xs["s1ge"]) * col(colp["g2ce"])
-           + row(xs["s1gte"]) * col(colp["g2cte"]))
-    lane0 = (jnp.arange(w2pe) == 0)[None, None, None, :]
-    gvc = jnp.where(lane0, row(xs["v0_cost"]), gvc)
-    ghs = (row(xs["g1so"]) * col(p2o) + row(xs["g1se"]) * col(p2e)
-           + row(xs["g1sto"]) * col(p2to) + row(xs["g1ste"]) * col(p2te))
-    ghc = row(xs["g1ce"]) * col(p2e) + row(xs["g1cte"]) * col(p2te)
-    ghc = jnp.where(lane0, jnp.int32(0), ghc)
+    # gvs/gvc/ghs/ghc are rank<=4: the kernel rebuilds them per row from
+    # the column factors in colf and the per-row scalars in rowf
 
     g = s2.shape[0]
     sb = s2.shape[1]
     full = (g, w1p, sb, w2pe)
-    mats = [jnp.broadcast_to(m, full)
-            for m in (t, tmH, tmV, gvs, gvc, ghs, ghc)]
+    mats = [jnp.broadcast_to(m, full) for m in (t, tmH, tmV)]
 
     h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
     lastm = colp["last_col_mask"].astype(jnp.int32)
@@ -492,8 +525,42 @@ def _build_mats_single(colp, xs, w1p, w2p):
     return w1m1, h0hi, h0lo, lastm, mats
 
 
-def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
-                interpret=False, single=False):
+def _bc_factors(colp, xs, w1p, w2p, single=False):
+    """Factors of the bc-trick: bc_row = cumsum(ghc_row) distributes as
+    g1ce[r] * cumsum(p2e') + g1cte[r] * cumsum(p2te') (lane0-zeroed
+    columns), exact mod 2^64.  Returns (colf [G, 4(+10), sb, w2pe] i32 -
+    the two cumsums as hi/lo pairs, plus in single mode the 10 raw gap
+    column factors - and rowf [G, w1p, sb, 2|12] i32 per-row scalars)."""
+    from .dp_jax import _cumsum_log
+    w2pe = w2p + LANE_PAD
+    p2g = colp["p2gaps"].astype(jnp.int64)
+    z0 = (jnp.arange(w2pe) == 0)[None, None, :]
+    cumE = _cumsum_log(jnp.where(z0, jnp.int64(0), p2g[..., 1]))
+    cumT = _cumsum_log(jnp.where(z0, jnp.int64(0), p2g[..., 3]))
+    eh, el = _split(cumE)
+    th, tl = _split(cumT)
+    cf = [eh, el, th, tl]
+
+    def rw(name):
+        return xs[name].astype(jnp.int32).transpose(0, 2, 1)
+
+    rf = [rw("g1ce"), rw("g1cte")]
+    if single:
+        for name in ("g2so", "g2se", "g2sto", "g2ste", "g2ce", "g2cte"):
+            cf.append(colp[name].astype(jnp.int32))
+        for k in range(4):
+            cf.append(p2g[..., k].astype(jnp.int32))   # p2o p2e p2to p2te
+        for name in ("s1go", "s1ge", "s1gto", "s1gte",
+                     "g1so", "g1se", "g1sto", "g1ste", "v0_cost"):
+            rf.append(rw(name))
+        rf.append(jnp.zeros_like(rf[0]))               # pad to 12
+    colf = jnp.stack(cf, axis=1)
+    rowf = jnp.stack(rf, axis=3)
+    return colf, rowf
+
+
+def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk, w1p,
+                w2p, interpret=False, single=False):
     """Stage 2: the Mosaic row-loop kernel over prebuilt cost matrices."""
     w2pe = w2p + LANE_PAD
     g = h0hi.shape[0]
@@ -509,6 +576,10 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0hi
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0lo
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # lastm
+        bm((1, colf.shape[1], sb, w2pe),
+           lambda b, i: (b, z0, z0, z0)),                     # colf
+        bm((1, blk, sb, rowf.shape[3]),
+           lambda b, i: (b, i, z0, z0)),                      # rowf
     ] + [mat_spec] * len(mats)
 
     out_shape = [
@@ -528,7 +599,7 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((6 * sb, w2pe), jnp.int32)],
         interpret=interpret,
-    )(w1m1, h0hi, h0lo, lastm, *mats)
+    )(w1m1, h0hi, h0lo, lastm, colf, rowf, *mats)
     return dirs_i32, fins
 
 
@@ -545,8 +616,9 @@ def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
         w1m1, h0hi, h0lo, lastm, mats = _build_mats_pairs(colp, xs, w1p, w2p)
     else:
         w1m1, h0hi, h0lo, lastm, mats = _build_mats(colp, xs, w1p, w2p)
-    return _run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk, w1p, w2p,
-                       interpret=interpret, single=single)
+    colf, rowf = _bc_factors(colp, xs, w1p, w2p, single=single)
+    return _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk,
+                       w1p, w2p, interpret=interpret, single=single)
 
 
 @functools.partial(jax.jit,
@@ -973,7 +1045,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
         single = _single_word_ok(params, pairs)
     w1p = max(_pallas_bucket(p1.width) for p1, _ in pairs)
     w2p = max(_pallas_bucket(p2.width) for _, p2 in pairs)
-    blk = _row_block(sb, w2p + LANE_PAD, n_mats=7 if single else 14)
+    blk = _row_block(sb, w2p + LANE_PAD, n_mats=3 if single else 14)
 
     g = (n + sb - 1) // sb
     b = g * sb
@@ -1006,14 +1078,19 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single)
     else:
-        c1s = np.zeros((b, w1p + 1, 32), dtype=np.int64)
-        c2s = np.zeros((b, w2p + 1, 32), dtype=np.int64)
+        # pack straight into the upload dtype (counts <= card)
+        maxc = int(max(k1v.max(), k2v.max()))
+        cdt = (np.int8 if maxc < 2 ** 7 else
+               np.int16 if maxc < 2 ** 15 else
+               np.int32 if maxc < 2 ** 31 else np.int64)
+        c1s = np.zeros((b, w1p + 1, 32), dtype=cdt)
+        c2s = np.zeros((b, w2p + 1, 32), dtype=cdt)
         for k in range(b):
             p1, p2 = pairs[min(k, n - 1)]
             c1s[k, :p1.width + 1] = p1.counters
             c2s[k, :p2.width + 1] = p2.counters
         packed = _dp_pallas_tb_counters(
-            jnp.asarray(_shrink(c1s)), jnp.asarray(_shrink(c2s)), *common,
+            jnp.asarray(c1s), jnp.asarray(c2s), *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single)
     return PendingPaths(packed, n)
