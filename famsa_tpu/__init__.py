@@ -13,7 +13,11 @@ import os as _os
 # Persistent XLA compilation cache: kernel compiles through the remote TPU
 # tunnel cost minutes; cache them across processes.  Opt out with
 # FAMSA_TPU_JAX_CACHE=0 or point FAMSA_TPU_JAX_CACHE at a directory.
-_cache = _os.environ.get("FAMSA_TPU_JAX_CACHE", "/tmp/famsa_tpu_jaxcache")
+# Default lives under ~/.cache (NOT /tmp: /tmp is wiped between sessions
+# on this box, which costs a ~6 min cold compile per kernel shape).
+_cache = _os.environ.get(
+    "FAMSA_TPU_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "famsa_tpu_jaxcache"))
 if _cache and _cache != "0":
     import jax as _jax
     _jax.config.update("jax_compilation_cache_dir", _cache)
