@@ -899,12 +899,17 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
     emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
         dirs_m, w1v, w2v, dir0, w1p + w2p)
     # ONE packed i32 output: every device->host pull costs a ~26 ms tunnel
-    # round trip, so emits/dir0/total ride in a single array
-    # [B, (w1p+w2p) + 3]: ..., dir0, total_hi, total_lo
+    # round trip and ~40 MB/s, so emits (2-bit codes incl. the '3' done
+    # sentinel) are packed 16-per-word and ride with dir0/total in a single
+    # array [B, (w1p+w2p)/16 + 3]: words..., dir0, total_hi, total_lo
+    s = w1p + w2p                       # multiple of 128, so 16 | s
+    ew = emits.reshape(emits.shape[0], s // 16, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+    packed_e = jnp.sum(ew << shifts, axis=2, dtype=jnp.int32)
     tot_hi = (total >> np.int64(32)).astype(jnp.int32)
     tot_lo = total.astype(jnp.int32)
     return jnp.concatenate(
-        [emits, dir0[:, None], tot_hi[:, None], tot_lo[:, None]], axis=1)
+        [packed_e, dir0[:, None], tot_hi[:, None], tot_lo[:, None]], axis=1)
 
 
 _dp_pallas_tb = jax.jit(
@@ -940,48 +945,62 @@ def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                              sb, blk, w1p, w2p, interpret, single)
 
 
-def _coo_dense(idx, val, wp):
-    """Scatter-add COO counters ([B, nnzb] i32 flat indices col*32+sym,
-    [B, nnzb] values) into dense [B, wp+1, 32] i32.  Padding entries are
-    (0, 0): adding zero to cell (0, 0) is a no-op."""
-    b = idx.shape[0]
+def _csc_dense(counts, syms, vals, wp):
+    """Reconstruct dense [B, wp+1, 32] i32 counters from the compact
+    per-column encoding: counts [B, wp+1] (nonzeros per column), syms
+    [B, nnzb] (symbol of each nonzero, column-major), vals [B, nnzb]
+    (its count).  Padding entries have val 0, so their scatter-add is a
+    no-op wherever it lands (column index clamped into range)."""
+    b, nnzb = syms.shape
+    cum = jnp.cumsum(counts.astype(jnp.int32), axis=1)      # [B, wp+1]
+    ks = jnp.arange(nnzb, dtype=jnp.int32)
+    col_of = jax.vmap(
+        lambda c: jnp.searchsorted(c, ks, side="right"))(cum)
+    col_of = jnp.minimum(col_of, wp).astype(jnp.int32)
+    idx = col_of * 32 + syms.astype(jnp.int32)
     flat = jnp.zeros((b, (wp + 1) * 32), jnp.int32)
-    flat = flat.at[jnp.arange(b)[:, None], idx].add(val.astype(jnp.int32))
+    flat = flat.at[jnp.arange(b)[:, None], idx].add(vals.astype(jnp.int32))
     return flat.reshape(b, wp + 1, 32)
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
                                              "interpret", "single"))
-def _dp_pallas_tb_coo(idx1, val1, idx2, val2, w1v, w2v, card1v, card2v,
-                      sm, gp, sb, blk, w1p, w2p, interpret=False,
-                      single=False):
-    """COO-upload variant: the counter tensors are mostly zero (a profile
-    column holds a handful of distinct symbols), so the host ships only
-    the nonzeros - the dominant cost of a dispatch through the tunnel is
-    the host->device transfer (~15-50 MB/s)."""
-    c1s = _coo_dense(idx1, val1, w1p)
-    c2s = _coo_dense(idx2, val2, w2p)
+def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
+                      card1v, card2v, sm, gp, sb, blk, w1p, w2p,
+                      interpret=False, single=False):
+    """Compact-upload variant: a profile column holds a handful of distinct
+    symbols, so the host ships per-column nonzero counts (i8) + symbol ids
+    (i8) + count values (i8/i16) instead of the dense [w, 32] tensor - the
+    dominant cost of a dispatch through the tunnel is the host->device
+    transfer (~26 ms + bytes/40 MB/s)."""
+    c1s = _csc_dense(cnt1, sym1, val1, w1p)
+    c2s = _csc_dense(cnt2, sym2, val2, w2p)
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                              sb, blk, w1p, w2p, interpret, single)
 
 
-def _coo_pack(pairs, n, b, side):
-    """[B, nnzb] (idx i32, val shrunk) arrays for profile side 0/1."""
+def _csc_pack(pairs, n, b, side, wp):
+    """Compact counter upload for profile side 0/1: (counts [B, wp+1] i8,
+    syms [B, nnzb] i8, vals [B, nnzb] smallest-int) in column-major
+    nonzero order (np.nonzero is row-major over [w, 32] = column-major in
+    DP-column terms, matching _csc_dense's searchsorted assignment)."""
+    cnt = np.zeros((b, wp + 1), dtype=np.int8)
     nzs = []
     for k in range(b):
         p = pairs[min(k, n - 1)][side]
         ii, ss = np.nonzero(p.counters)
-        nzs.append((ii.astype(np.int64) * 32 + ss, p.counters[ii, ss]))
-    nnz_max = max(len(ix) for ix, _ in nzs)
+        np.add.at(cnt[k], ii, 1)
+        nzs.append((ss, p.counters[ii, ss]))
+    nnz_max = max(len(ss) for ss, _ in nzs)
     nnzb = 256
     while nnzb < nnz_max:
         nnzb *= 2
-    idx = np.zeros((b, nnzb), dtype=np.int32)
-    val = np.zeros((b, nnzb), dtype=np.int64)
-    for k, (ix, v) in enumerate(nzs):
-        idx[k, :len(ix)] = ix
-        val[k, :len(v)] = v
-    return idx, _shrink(val)
+    syms = np.zeros((b, nnzb), dtype=np.int8)
+    vals = np.zeros((b, nnzb), dtype=np.int64)
+    for k, (ss, v) in enumerate(nzs):
+        syms[k, :len(ss)] = ss
+        vals[k, :len(v)] = v
+    return cnt, syms, _shrink(vals)
 
 
 class JaxPathResult:
@@ -1019,7 +1038,9 @@ class PendingPaths:
 
     def resolve(self):
         arr = np.asarray(self._packed)
-        emits = arr[:, :-3]
+        words = arr[:, :-3].astype(np.uint32)
+        emits = ((words[:, :, None] >> (2 * np.arange(16, dtype=np.uint32)))
+                 & np.uint32(3)).reshape(arr.shape[0], -1).astype(np.int32)
         dir0 = arr[:, -3]
         total = (arr[:, -2].astype(np.int64) << np.int64(32)) | \
             (arr[:, -1].astype(np.int64) & np.int64(0xFFFFFFFF))
@@ -1034,10 +1055,11 @@ class PendingPaths:
 
 
 def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
-                                  single=None):
+                                  single=None, force_dense=False):
     """Batched DP + device traceback, dispatched without blocking: returns
     a PendingPaths.  The host uploads only the nonzero counter entries
-    (COO) or narrow dense counters and pulls only the O(W) paths."""
+    (per-column compact encoding, see _csc_pack) or narrow dense counters
+    and pulls only the O(W) paths, 2-bit packed."""
     n = len(pairs)
     if sb is None:
         sb = 8 if n >= 5 else 1
@@ -1064,17 +1086,19 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     common = (jnp.asarray(w1v), jnp.asarray(w2v),
               jnp.asarray(k1v), jnp.asarray(k2v), sm)
 
-    idx1, val1 = _coo_pack(pairs, n, b, 0)
-    idx2, val2 = _coo_pack(pairs, n, b, 1)
-    coo_bytes = idx1.nbytes + val1.nbytes + idx2.nbytes + val2.nbytes
+    cnt1, sym1, val1 = _csc_pack(pairs, n, b, 0, w1p)
+    cnt2, sym2, val2 = _csc_pack(pairs, n, b, 1, w2p)
+    csc_bytes = (cnt1.nbytes + sym1.nbytes + val1.nbytes
+                 + cnt2.nbytes + sym2.nbytes + val2.nbytes)
     dense_itemsize = _shrink(np.array([max(k1v.max(), k2v.max())],
                                       dtype=np.int64)).itemsize
     dense_bytes = b * (w1p + w2p + 2) * 32 * dense_itemsize
 
-    if coo_bytes < 0.6 * dense_bytes:
-        packed = _dp_pallas_tb_coo(
-            jnp.asarray(idx1), jnp.asarray(val1),
-            jnp.asarray(idx2), jnp.asarray(val2), *common,
+    if csc_bytes < 0.8 * dense_bytes and not force_dense:
+        packed = _dp_pallas_tb_csc(
+            jnp.asarray(cnt1), jnp.asarray(sym1), jnp.asarray(val1),
+            jnp.asarray(cnt2), jnp.asarray(sym2), jnp.asarray(val2),
+            *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single)
     else:
@@ -1097,10 +1121,11 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
 
 
 def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False,
-                            single=None):
+                            single=None, force_dense=False):
     """Blocking variant: dispatch one batch and pull its paths."""
     return dp_profile_pallas_paths_async(
-        params, pairs, sb=sb, interpret=interpret, single=single).resolve()
+        params, pairs, sb=sb, interpret=interpret, single=single,
+        force_dense=force_dense).resolve()
 
 
 def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):

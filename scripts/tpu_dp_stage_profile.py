@@ -70,7 +70,9 @@ def main():
 
     w1p = max(dpp._pallas_bucket(p1.width) for p1, _ in pairs)
     w2p = max(dpp._pallas_bucket(p2.width) for _, p2 in pairs)
-    blk = dpp._row_block(SB, w2p + dpp.LANE_PAD)
+    blk = dpp._row_block(
+        SB, w2p + dpp.LANE_PAD,
+        n_mats=3 if dpp._single_word_ok(params, pairs) else 14)
     print(f"w1p={w1p} w2p={w2p} blk={blk}", flush=True)
 
     g = (BATCH + SB - 1) // SB
@@ -117,25 +119,37 @@ def main():
 
     (colp, xs), dt0 = timed("stage0 (counters->colp/xs)", run0)
 
-    # ---- stage 1 ----
-    f_stage1 = jax.jit(lambda colp, xs: dpp._build_mats(colp, xs, w1p, w2p))
+    # ---- stage 1 (production variant: single-word when safe) ----
+    import famsa_tpu.ops.dp_pallas as _d
+    single = dpp._single_word_ok(params, pairs)
+    print(f"single-word mode: {single}", flush=True)
+
+    @functools.partial(jax.jit, static_argnames=("single",))
+    def f_stage1(colp, xs, single):
+        if single:
+            mats_out = dpp._build_mats_single(colp, xs, w1p, w2p)
+        else:
+            mats_out = dpp._build_mats_pairs(colp, xs, w1p, w2p)
+        colf, rowf = dpp._bc_factors(colp, xs, w1p, w2p, single=single)
+        return mats_out + (colf, rowf)
 
     def run1():
-        out = f_stage1(colp, xs)
+        out = f_stage1(colp, xs, single)
         np.asarray(out[4][0][0, 0, 0, :2])
         return out
 
     (mats_out), dt1 = timed("stage1 (cost mats)", run1)
-    w1m1, h0hi, h0lo, lastm, mats = mats_out
+    w1m1, h0hi, h0lo, lastm, mats, colf, rowf = mats_out
 
     # ---- stage 2 ----
-    @functools.partial(jax.jit, static_argnames=("sb", "blk"))
-    def f_stage2(w1m1, h0hi, h0lo, lastm, mats, sb, blk):
-        return dpp._run_kernel(w1m1, h0hi, h0lo, lastm, mats, sb, blk,
-                               w1p, w2p)
+    @functools.partial(jax.jit, static_argnames=("sb", "blk", "single"))
+    def f_stage2(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk, single):
+        return dpp._run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats,
+                               sb, blk, w1p, w2p, single=single)
 
     def run2():
-        dirs, fins = f_stage2(w1m1, h0hi, h0lo, lastm, mats, sb=SB, blk=blk)
+        dirs, fins = f_stage2(w1m1, h0hi, h0lo, lastm, colf, rowf, mats,
+                              sb=SB, blk=blk, single=single)
         np.asarray(fins[0, 0, 0, :2])
         return dirs, fins
 

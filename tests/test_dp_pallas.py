@@ -83,12 +83,17 @@ def test_dp_pallas_device_traceback():
         p2 = _make_profile(rng, params, 2 + (k % 4), 75 - 6 * k)
         pairs.append((p1, p2))
 
+    # both upload encodings (compact CSC and dense counters) must agree
     got = dp_profile_pallas_paths(params, pairs, sb=8, interpret=True)
-    for (p1, p2), g in zip(pairs, got):
+    got_dense = dp_profile_pallas_paths(params, pairs, sb=8, interpret=True,
+                                        force_dense=True)
+    for (p1, p2), g, gd in zip(pairs, got, got_dense):
         ref = dp_profile_jax(params, p1, p2)
         path, total = _trace_path(ref, p1.width, p2.width)
         assert g.total == total
         assert g.path == path
+        assert gd.total == total
+        assert gd.path == path
 
 
 def test_build_mats_pairs_parity():
