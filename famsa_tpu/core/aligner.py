@@ -17,6 +17,13 @@ from .profile import Profile
 # host kernel wins
 _JAX_MIN_CELLS = int(float(os.environ.get("FAMSA_TPU_JAX_MIN_CELLS", "4e6")))
 
+# merges with at least this many DP cells are sharded across the device
+# mesh (column-striped state, parallel/dp_sharded.py) when one is active -
+# the cross-chip analog of the reference's thread wavefront
+# (profile_par.cpp:214-230)
+_SHARD_DP_CELLS = int(float(os.environ.get("FAMSA_TPU_SHARD_DP_CELLS",
+                                           "2e8")))
+
 
 def align_into(dest: Profile, profile1: Profile, profile2: Profile,
                column_mapping1=None, column_mapping2=None, backend="numpy"):
@@ -35,9 +42,20 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
         # the JAX kernel covers unguided seq-prof and prof-prof (they share
         # one recurrence); guided (refinement) and seq-seq stay on host
         from ..ops.dp_jax import dp_profile_jax
+        from ..parallel.mesh import auto_mesh
 
-        def dp_sp(params, p1, p2, cm1=None, cm2=None):
-            return dp_profile_jax(params, p1, p2)
+        mesh = (auto_mesh("cols")
+                if profile1.width * profile2.width >= _SHARD_DP_CELLS
+                else None)
+        if mesh is not None:
+            # giant merge: column-shard the DP state across the mesh
+            from ..parallel.dp_sharded import dp_profile_sharded
+
+            def dp_sp(params, p1, p2, cm1=None, cm2=None):
+                return dp_profile_sharded(params, p1, p2, mesh)
+        else:
+            def dp_sp(params, p1, p2, cm1=None, cm2=None):
+                return dp_profile_jax(params, p1, p2)
 
         dp_pp = dp_sp
 

@@ -113,9 +113,25 @@ class Params:
         self.gap_term_open = cpp_round(-COST_CAST_FACTOR * self.gap_term_open_base)
         self.gap_term_ext = cpp_round(-COST_CAST_FACTOR * self.gap_term_ext_base)
 
+    def resolve_backend(self):
+        """'auto' -> 'jax' when the default JAX backend is a TPU (the
+        production device path: Pallas DP/LCS kernels, device Prim), else
+        'numpy' (the exact host reference).  Both produce byte-identical
+        output; 'auto' simply dispatches to the accelerator when one is
+        attached."""
+        if self.backend == "auto":
+            try:
+                import jax
+                self.backend = ("jax" if jax.default_backend() == "tpu"
+                                else "numpy")
+            except Exception:
+                self.backend = "numpy"
+        return self.backend
+
     def adjust(self, n_seqs: int):
         """Gap rescaling + heuristic gating + score-matrix materialization
         (reference CFAMSA::adjustParams, msa.cpp:83-106)."""
+        self.resolve_backend()
         if self.gt_heuristic != HEUR_NONE and n_seqs < self.medoid.threshold:
             self.gt_heuristic = HEUR_NONE
 

@@ -278,18 +278,20 @@ class Profile:
             if balance < 0:
                 move_left = is_left | (exch_type == T_BOTH_L)
                 move_right = is_right | (exch_type == T_BOTH_R)
+                # bulk gap edits: n repeated InsertGap(pos)/RemoveGap(pos)
+                # land in the SAME gap run (insertion grows the run that
+                # covers pos; removal shrinks a run that provably spans
+                # past pos for all n edits here), so one insert_gaps/
+                # remove_gaps call is exact - the reference loops singular
+                # O(log n) DPS edits instead (profile.cpp:662-676)
                 for j in np.nonzero(move_left)[0]:
                     gs = data[j]
-                    for _ in range(left_side - 1):
-                        gs.insert_gap(right_col)
-                    for _ in range(left_side - 1):
-                        gs.remove_gap(left_col + 1)
+                    gs.insert_gaps(right_col, left_side - 1)
+                    gs.remove_gaps(left_col + 1, left_side - 1)
                 for j in np.nonzero(move_right)[0]:
                     gs = data[j]
-                    for _ in range(right_side - 1):
-                        gs.remove_gap(curr + 1)
-                    for _ in range(right_side - 1):
-                        gs.insert_gap(left_col + 1)
+                    gs.remove_gaps(curr + 1, right_side - 1)
+                    gs.insert_gaps(left_col + 1, right_side - 1)
                 # NOTE: trans is intentionally left stale inside
                 # (left_col, right_col]; like the reference, later iterations
                 # only read columns < left_col (max_possible_col_id guard).

@@ -91,9 +91,17 @@ class DistanceBackend:
         return self.row(ref_idx, np.arange(count))
 
 
-def get_distance_backend(sequences, measure, dtype, backend="numpy"):
+def get_distance_backend(sequences, measure, dtype, backend="numpy",
+                         mesh=None):
     if backend == "jax":
         import jax
+        if mesh is None:
+            from ..parallel.mesh import auto_mesh
+            mesh = auto_mesh("rows")
+        if mesh is not None and len(sequences) >= mesh.devices.size:
+            # multi-chip: query masks row-sharded over the mesh
+            from ..parallel.dist_sharded import ShardedDistanceBackend
+            return ShardedDistanceBackend(sequences, measure, dtype, mesh)
         if jax.default_backend() == "tpu":
             # Mosaic kernel, row blocks per dispatch (ops/lcs_pallas.py)
             from .lcs_pallas import PallasDistanceBackend

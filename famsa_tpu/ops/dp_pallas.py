@@ -4,19 +4,22 @@ The lax.scan row loop of ops/dp_jax.py dispatches one XLA loop iteration
 per DP row; on TPU each iteration costs ~0.6 ms regardless of width (the
 x64 legalizer shreds the body into hundreds of unfused u32 micro-kernels),
 capping the kernel at ~1e7 cells/s.  This module runs the ENTIRE row loop
-inside one Mosaic kernel:
+inside one Mosaic kernel, and (since round 2) builds every per-cell cost
+IN the kernel - no [G, w1p, sb, w2pe] cost matrices ever touch HBM:
 
- - stage 1 (XLA, fused, outside the loop): the seven per-cell cost
-   matrices exactly as _dp_kernel_pairs builds them (match scores via the
-   30-symbol contraction, gap-correction outer products - reference
-   profile_seq.cpp:495-892, profile.cpp:1223-1315), split into
-   (hi:int32, lo:int32-bits-of-u32) pairs;
- - stage 2 (Pallas): grid over (merge-group, row-block); the D/H/V rows
-   live in VMEM scratch across sequential grid steps; the H channel's
-   intra-row dependency is the max-plus prefix scan H = bc + cummax(m-bc)
-   done log-depth in-kernel; packed 2-bit x3 direction rows stream out.
-   All arithmetic is native i32 pairs (Mosaic rejects s64); unsigned lo
-   compares use the sign-bit-xor trick.
+ - the match-score term t[r, j] = sum_s counters1[r, s] * scores2[j, s]
+   (reference profile_seq.cpp:698-712) is a 30-term multiply-accumulate
+   per row over the VMEM-resident scores2 plane stack;
+ - the tmH/tmV corrections and the rank<=4 gap matrices (gvs/gvc/ghs/ghc,
+   reference profile.cpp:1223-1315) are per-row scalar x column-factor
+   products;
+ - the D/H/V rows live in VMEM scratch across sequential grid steps; the
+   H channel's intra-row dependency is the max-plus prefix scan
+   H = bc + cummax(m - bc) done log-depth in-kernel; packed 2-bit x3
+   direction rows stream out.
+ - all arithmetic is native i32 (Mosaic rejects s64): DP values are
+   (hi, lo) i32 pairs; cost terms are single i32 words when the batch
+   provably fits (see _single_word_ok) and (hi, lo) pairs otherwise.
  - sublane batching: SB=8 independent merges ride the sublane dimension
    so every VPU op runs on full (8, 128) vregs; SB=1 is the single-merge
    fallback (1/8 sublane utilization, still far faster than the scan).
@@ -57,18 +60,38 @@ ROW0_PACK = _H | (_H << 2) | (_H << 4)          # 21
 
 LANE_PAD = 128     # extra lanes so lane j == DP column j (lane 0 = col 0)
 
+# colf plane indices (column factors, [G, P, sb, w2pe] i32).
+# 0-3: (hi, lo) pairs of cumsum(p2e') and cumsum(p2te') for the bc trick;
+# 4-9: g2so g2se g2sto g2ste g2ce g2cte gap-correction counts;
+# single mode adds 10-13: p2o p2e p2to p2te, 14: gaps2_change (i32);
+# pair mode adds 10-17: p2o..p2te as (hi, lo) pairs, 18-19: gaps2_change.
+_COLF_P = {True: 15, False: 20}
+
+# rowf plane indices (per-row factors, [G, w1p, sb, K] i32).
+# common: 0 g1ce, 1 g1cte (bc-trick row counts).
+# single: 2-5 s1go s1ge s1gto s1gte, 6-9 g1so g1se g1sto g1ste,
+#         10 v0_cost, 11 n1c, 12 n1tc, 13 col1nng  (K=16 padded).
+# pair:   2-11 (hi, lo) pairs of s1go s1ge s1gto s1gte v0_cost,
+#         12-15 g1so g1se g1sto g1ste, 16 n1c, 17 n1tc, 18 col1nng (K=20).
+_ROWF_K = {True: 16, False: 20}
+
 
 def _pallas_bucket(w):
     return max(128, _bucket(w))
 
 
-def _row_block(sb, w2pe, n_mats=14):
-    """Rows per grid step: small enough that double-buffered matrix blocks
-    fit VMEM AND the statically-unrolled row loop keeps code size sane
-    (rows are unrolled in the kernel body; dynamic row indexing into VMEM
-    lowers pathologically on Mosaic)."""
+def _row_block(sb, w2pe, single=True):
+    """Rows per grid step.  With all cost terms built in-kernel the only
+    streamed blocks are dirs/fin/rowf/c1 - VMEM is no longer the binding
+    constraint; the static row unroll's code size is (rows are unrolled
+    in the kernel body; dynamic row indexing into VMEM lowers
+    pathologically on Mosaic)."""
+    fixed = ((30 if single else 60) + _COLF_P[single] + 3 + 6) \
+        * sb * w2pe * 4
+    per_row = (w2pe + 8 + 32 + _ROWF_K[single]) * sb * 4 * 2 \
+        + (9 if single else 16) * w2pe * sb * 4     # block cost temporaries
     for blk in (8, 4, 2, 1):
-        if n_mats * blk * sb * w2pe * 4 * 2 <= 9 * 1024 * 1024:
+        if fixed + blk * per_row <= 24 * 1024 * 1024:
             return blk
     return 1
 
@@ -113,7 +136,7 @@ def _k_srl(x, k):
 
 def _k_pmul_u32(c, x):
     """In-kernel exact (mod 2^64) product of a non-negative i32 count
-    (broadcastable, < 2^31) with an (hi, lo) i32 pair (see _pmul_u32)."""
+    (broadcastable, < 2^31) with an (hi, lo) i32 pair."""
     hi, lo = x
     m16 = jnp.int32(0xFFFF)
     a0 = c & m16
@@ -132,28 +155,29 @@ def _k_pmul_u32(c, x):
 
 def _make_kernel(sb, blk, w2pe, single=False):
     def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, colf_ref, rowf_ref,
-               *rest):
-        if single:
-            # 3 single-word mats: hi = sign extension (values < 2^31);
-            # the rank<=4 gap matrices (gvs/gvc/ghs/ghc) are computed
-            # per row from column factors x per-row scalars (1 i32 mul
-            # per feature - the single-word bound covers every term)
-            tmDl, tmHl, tmVl, dirs_ref, fin_ref, prev_ref = rest
-            tmDh = tmHh = tmVh = None
-        else:
-            (tmDh, tmDl, tmHh, tmHl, tmVh, tmVl,
-             gvsh, gvsl, gvch, gvcl, ghsh, ghsl, ghch, ghcl,
-             dirs_ref, fin_ref, prev_ref) = rest
+               s2_ref, c1_ref, dirs_ref, fin_ref, prev_ref):
         i = pl.program_id(1)
         # lane-cumsums of the ghc column factors (lane0-zeroed p2e / p2te):
         # bc_row = g1ce[r] * cumE + g1cte[r] * cumT replaces the log-depth
         # in-kernel p_cumsum (12 cross-lane rolls per row)
         cumE = (colf_ref[0, 0, :, :], colf_ref[0, 1, :, :])
         cumT = (colf_ref[0, 2, :, :], colf_ref[0, 3, :, :])
+        (g2so_c, g2se_c, g2sto_c, g2ste_c, g2ce_c, g2cte_c) = (
+            colf_ref[0, 4 + k, :, :] for k in range(6))
         if single:
-            (g2so_c, g2se_c, g2sto_c, g2ste_c, g2ce_c, g2cte_c,
-             p2o_c, p2e_c, p2to_c, p2te_c) = (
-                colf_ref[0, 4 + k, :, :] for k in range(10))
+            p2o_c, p2e_c, p2to_c, p2te_c, g2chg_c = (
+                colf_ref[0, 10 + k, :, :] for k in range(5))
+            dE_c = p2e_c - p2o_c
+            dT_c = p2te_c - p2to_c
+        else:
+            def cp(k):
+                return (colf_ref[0, k, :, :], colf_ref[0, k + 1, :, :])
+
+            p2o_p, p2e_p = cp(10), cp(12)
+            p2to_p, p2te_p = cp(14), cp(16)
+            g2chg_p = cp(18)
+            dE_p = p_sub(p2e_p, p2o_p)
+            dT_p = p_sub(p2te_p, p2to_p)
         lane = jax.lax.broadcasted_iota(jnp.int32, (sb, w2pe), 1)
         c_D, c_H, c_V = jnp.int32(_D), jnp.int32(_H), jnp.int32(_V)
         neg = (jnp.full((sb, w2pe), NEG_HI, jnp.int32),
@@ -192,6 +216,67 @@ def _make_kernel(sb, blk, w2pe, single=False):
                   (prev_ref[2 * sb:3 * sb, :], prev_ref[3 * sb:4 * sb, :]),
                   (prev_ref[4 * sb:5 * sb, :], prev_ref[5 * sb:6 * sb, :]))
 
+        # ---- block prologue: every per-cell cost term for this row block
+        # as VMEM temporaries [blk, sb, w2pe] (one fused op set per block
+        # instead of per row - 8x fewer vector issues, zero HBM traffic)
+        lane3 = lane[None]
+        lane0_3 = lane3 == 0
+
+        def rb(k):
+            return rowf_ref[0, :, :, k:k + 1]          # (blk, sb, 1)
+
+        if single:
+            tb = c1_ref[0, :, :, 0:1] * s2_ref[0, 0, :, :][None]
+            for s in range(1, NO_AMINOACIDS_AND_GAPS):
+                tb = tb + c1_ref[0, :, :, s:s + 1] * s2_ref[0, s, :, :][None]
+            tmHb1 = tb + rb(11) * dE_c[None] + rb(12) * dT_c[None]
+            tmVb1 = tb + rb(13) * g2chg_c[None]
+            gvsb1 = (rb(2) * g2so_c[None] + rb(3) * g2se_c[None]
+                     + rb(4) * g2sto_c[None] + rb(5) * g2ste_c[None])
+            gvcb1 = jnp.where(lane0_3, rb(10),
+                              rb(3) * g2ce_c[None] + rb(5) * g2cte_c[None])
+            ghsb1 = (rb(6) * p2o_c[None] + rb(7) * p2e_c[None]
+                     + rb(8) * p2to_c[None] + rb(9) * p2te_c[None])
+            ghcb1 = jnp.where(lane0_3, jnp.int32(0),
+                              rb(0) * p2e_c[None] + rb(1) * p2te_c[None])
+        else:
+            def s2p(s):
+                return (s2_ref[0, 2 * s, :, :][None],
+                        s2_ref[0, 2 * s + 1, :, :][None])
+
+            def rbp(k):
+                return (rb(k), rb(k + 1))
+
+            def colp3(x):
+                return (x[0][None], x[1][None])
+
+            tb = _k_pmul_u32(c1_ref[0, :, :, 0:1], s2p(0))
+            for s in range(1, NO_AMINOACIDS_AND_GAPS):
+                tb = p_add(tb, _k_pmul_u32(c1_ref[0, :, :, s:s + 1], s2p(s)))
+            tmHb = p_add(tb, p_add(_k_pmul_u32(rb(16), colp3(dE_p)),
+                                   _k_pmul_u32(rb(17), colp3(dT_p))))
+            tmVb = p_add(tb, _k_pmul_u32(rb(18), colp3(g2chg_p)))
+            gvsb = p_add(
+                p_add(_k_pmul_u32(g2so_c[None], rbp(2)),
+                      _k_pmul_u32(g2se_c[None], rbp(4))),
+                p_add(_k_pmul_u32(g2sto_c[None], rbp(6)),
+                      _k_pmul_u32(g2ste_c[None], rbp(8))))
+            gvcb0 = p_add(_k_pmul_u32(g2ce_c[None], rbp(4)),
+                          _k_pmul_u32(g2cte_c[None], rbp(8)))
+            gvcb = p_where(lane0_3, rbp(10), gvcb0)
+            ghsb = p_add(p_add(_k_pmul_u32(rb(12), colp3(p2o_p)),
+                               _k_pmul_u32(rb(13), colp3(p2e_p))),
+                         p_add(_k_pmul_u32(rb(14), colp3(p2to_p)),
+                               _k_pmul_u32(rb(15), colp3(p2te_p))))
+            ghcb0 = p_add(_k_pmul_u32(rb(0), colp3(p2e_p)),
+                          _k_pmul_u32(rb(1), colp3(p2te_p)))
+            z3 = jnp.int32(0)
+            ghcb = (jnp.where(lane0_3, z3, ghcb0[0]),
+                    jnp.where(lane0_3, z3, ghcb0[1]))
+        # bc rows for the H-channel scan trick, blockified
+        bcb = p_add(_k_pmul_u32(rb(0), (cumE[0][None], cumE[1][None])),
+                    _k_pmul_u32(rb(1), (cumT[0][None], cumT[1][None])))
+
         def row_body(r, carry):
             # r is a STATIC Python int: all VMEM indexing below is static
             # (dynamic sublane indexing lowers to selects on Mosaic).
@@ -203,34 +288,19 @@ def _make_kernel(sb, blk, w2pe, single=False):
                     lo, jnp.full(lo.shape, 31, lo.dtype)), lo)
 
             if single:
-                def mrow2(_, ref_lo):
-                    return sx(ref_lo[0, r, :, :])     # [sb, w2pe]
+                tmD = sx(tb[r])
+                tmH = sx(tmHb1[r])
+                tmV = sx(tmVb1[r])
+                gvs = sx(gvsb1[r])
+                gvc = sx(gvcb1[r])
+                ghs = sx(ghsb1[r])
+                ghc = sx(ghcb1[r])
             else:
-                def mrow2(ref_hi, ref_lo):
-                    return (ref_hi[0, r, :, :], ref_lo[0, r, :, :])
+                def at(p):
+                    return (p[0][r], p[1][r])
 
-            tmD = mrow2(tmDh, tmDl)
-            tmH = mrow2(tmHh, tmHl)
-            tmV = mrow2(tmVh, tmVl)
-            if single:
-                def rf(k):
-                    return rowf_ref[0, r, :, k:k + 1]  # (sb, 1)
-
-                s1go_r, s1ge_r, s1gto_r, s1gte_r = rf(2), rf(3), rf(4), rf(5)
-                g1so_r, g1se_r, g1sto_r, g1ste_r = rf(6), rf(7), rf(8), rf(9)
-                gvs = sx(s1go_r * g2so_c + s1ge_r * g2se_c
-                         + s1gto_r * g2sto_c + s1gte_r * g2ste_c)
-                gvc_lo = s1ge_r * g2ce_c + s1gte_r * g2cte_c
-                gvc = sx(jnp.where(lane == 0, rf(10), gvc_lo))
-                ghs = sx(g1so_r * p2o_c + g1se_r * p2e_c
-                         + g1sto_r * p2to_c + g1ste_r * p2te_c)
-                ghc_lo = rf(0) * p2e_c + rf(1) * p2te_c
-                ghc = sx(jnp.where(lane == 0, jnp.int32(0), ghc_lo))
-            else:
-                gvs = mrow2(gvsh, gvsl)
-                gvc = mrow2(gvch, gvcl)
-                ghs = mrow2(ghsh, ghsl)
-                ghc = mrow2(ghch, ghcl)
+                tmD, tmH, tmV = at(tb), at(tmHb), at(tmVb)
+                gvs, gvc, ghs, ghc = at(gvsb), at(gvcb), at(ghsb), at(ghcb)
 
             # ---- D channel (previous row, col j-1) ----
             hD, hH, hV = shf(pD), shf(pH), shf(pV)
@@ -268,9 +338,7 @@ def _make_kernel(sb, blk, w2pe, single=False):
             mD = p_add(shf(D), ghs)
             mV = p_add(shf(V), ghs)
             m = p_where(three, p_max(mD, mV), mD)
-            g1ce_r = rowf_ref[0, r, :, 0:1]           # (sb, 1) counts
-            g1cte_r = rowf_ref[0, r, :, 1:2]
-            bc = p_add(_k_pmul_u32(g1ce_r, cumE), _k_pmul_u32(g1cte_r, cumT))
+            bc = (bcb[0][r], bcb[1][r])
             run = p_cummax(p_sub(m, bc))
             H = p_add(bc, p_max(run, neg))
             H = p_where(lane == 0, neg, H)
@@ -318,250 +386,83 @@ def _make_kernel(sb, blk, w2pe, single=False):
 
 
 # ---------------------------------------------------------------------------
-# stage 1 + pallas_call wrapper (one jit = one device dispatch)
+# input packing: stage-0 outputs -> kernel factor tensors (all O(W), no
+# O(W^2) cost matrices)
 # ---------------------------------------------------------------------------
 def _split(x):
     return ((x >> np.int64(32)).astype(jnp.int32), x.astype(jnp.int32))
 
 
-def _build_mats(colp, xs, w1p, w2p):
-    """Stage 1: the seven per-cell cost matrices as (hi, lo) i32 pairs.
-    Returns (w1m1, h0hi, h0lo, lastm, mats[14]).
-
-    Inputs may arrive in narrower integer dtypes (host-side shrink to cut
-    the upload; see _shrink) - everything is widened to i64 on device."""
-    colp = {k: v.astype(jnp.int64) for k, v in colp.items()}
-    xs = {k: v.astype(jnp.int64) for k, v in xs.items()}
-    w2pe = w2p + LANE_PAD
-
-    def outer(rowv, colv):
-        # rowv [G, sb, w1p] x colv [G, sb, w2pe] -> [G, w1p, sb, w2pe]
-        return (rowv.transpose(0, 2, 1)[:, :, :, None]
-                * colv[:, None, :, :])
-
-    c1 = xs["c1"]                     # [G, sb, w1p, 30]
-    s2 = colp["s2"]                   # [G, sb, w2pe, 30]
-    t = outer(c1[..., 0], s2[..., 0])
-    for s in range(1, NO_AMINOACIDS_AND_GAPS):
-        t = t + outer(c1[..., s], s2[..., s])
-
-    p2o, p2e = colp["p2gaps"][..., 0], colp["p2gaps"][..., 1]
-    p2to, p2te = colp["p2gaps"][..., 2], colp["p2gaps"][..., 3]
-    tmH = t + outer(xs["n1c"], p2e - p2o) + outer(xs["n1tc"], p2te - p2to)
-    tmV = t + outer(xs["col1nng"], colp["gaps2_change"])
-    gvs = (outer(xs["s1go"], colp["g2so"]) + outer(xs["s1ge"], colp["g2se"])
-           + outer(xs["s1gto"], colp["g2sto"])
-           + outer(xs["s1gte"], colp["g2ste"]))
-    gvc = outer(xs["s1ge"], colp["g2ce"]) + outer(xs["s1gte"], colp["g2cte"])
-    # v0_cost (col-0 V boundary, per row) rides in the dead lane 0 of gvc
-    v0t = xs["v0_cost"].transpose(0, 2, 1)            # [G, w1p, sb]
-    lane0m = (jnp.arange(w2pe) == 0)[None, None, None, :]
-    gvc = jnp.where(lane0m, v0t[:, :, :, None], gvc)
-    ghs = (outer(xs["g1so"], p2o) + outer(xs["g1se"], p2e)
-           + outer(xs["g1sto"], p2to) + outer(xs["g1ste"], p2te))
-    ghc = outer(xs["g1ce"], p2e) + outer(xs["g1cte"], p2te)
-    lane0 = (jnp.arange(w2pe) == 0)[None, None, None, :]
-    ghc = jnp.where(lane0, jnp.int64(0), ghc)
-
-    mats = []
-    for a in (t, tmH, tmV, gvs, gvc, ghs, ghc):
-        hi, lo = _split(a)
-        mats.append(hi)
-        mats.append(lo)
-
-    h0hi, h0lo = _split(colp["h0"])               # [G, sb, w2pe]
-    lastm = colp["last_col_mask"].astype(jnp.int32)
-    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]   # [G, 1, sb]
-    return w1m1, h0hi, h0lo, lastm, mats
-
-
-def _srl(x, k):
-    """Logical right shift of an i32 bit pattern by constant k."""
-    return jax.lax.shift_right_logical(x, jnp.full(x.shape, k, x.dtype))
-
-
-def _pmul_u32(c, x):
-    """Exact (mod 2^64) product of a non-negative i32 scalar/array c
-    (0 <= c < 2^31) with an i64 value given as an (hi, lo) i32 pair.
-
-    Pure i32 ops (4x 16-bit partial products + carry assembly), so the XLA
-    TPU x64 legalizer never sees it and the whole chain fuses into one
-    vector loop - the emulated-i64 version of the same outer products ran
-    ~10x slower (unfused micro-kernels)."""
-    hi, lo = x
-    m16 = jnp.int32(0xFFFF)
-    a0 = c & m16
-    a1 = _srl(c, 16)
-    b0 = lo & m16
-    b1 = _srl(lo, 16)
-    p00 = a0 * b0
-    p01 = a0 * b1
-    p10 = a1 * b0
-    p11 = a1 * b1
-    mid = _srl(p00, 16) + (p01 & m16) + (p10 & m16)
-    lo_out = (mid << 16) | (p00 & m16)
-    hi_mul = p11 + _srl(p01, 16) + _srl(p10, 16) + _srl(mid, 16)
-    return (c * hi + hi_mul, lo_out)
-
-
-def _build_mats_pairs(colp, xs, w1p, w2p):
-    """Stage 1 in explicit (hi, lo) i32-pair arithmetic: bit-identical to
-    _build_mats but ~10x faster on TPU (no s64 in the hot loop).
-
-    Layout note: every product is rowv [G, w1p, sb, 1] x colv
-    [G, 1, sb, w2pe] - broadcasting builds the [G, w1p, sb, w2pe] matrices
-    directly in the kernel's layout inside one fused XLA loop."""
-    w2pe = w2p + LANE_PAD
-
-    def sp_row(a):
-        # [G, sb, w1p] i64 -> (hi, lo) [G, w1p, sb, 1]
-        a = a.astype(jnp.int64).transpose(0, 2, 1)[:, :, :, None]
-        return _split(a)
-
-    def sp_col(a):
-        # [G, sb, w2pe] i64 -> (hi, lo) [G, 1, sb, w2pe]
-        a = a.astype(jnp.int64)[:, None, :, :]
-        return _split(a)
-
-    def row_u32(a):
-        # non-negative count-typed row operand -> i32 [G, w1p, sb, 1]
-        return a.astype(jnp.int32).transpose(0, 2, 1)[:, :, :, None]
-
-    def col_u32(a):
-        return a.astype(jnp.int32)[:, None, :, :]
-
-    def p_mul_rc(rows_cnt, col_pair):
-        return _pmul_u32(row_u32(rows_cnt), col_pair)
-
-    def p_mul_cr(row_pair, cols_cnt):
-        return _pmul_u32(col_u32(cols_cnt), row_pair)
-
-    c1 = xs["c1"]                     # [G, sb, w1p, 30] counts
-    t = p_mul_rc(c1[..., 0], sp_col(colp["s2"][..., 0]))
-    for s in range(1, NO_AMINOACIDS_AND_GAPS):
-        t = p_add(t, p_mul_rc(c1[..., s], sp_col(colp["s2"][..., s])))
-
-    p2g = colp["p2gaps"].astype(jnp.int64)
-    p2o, p2e = p2g[..., 0], p2g[..., 1]
-    p2to, p2te = p2g[..., 2], p2g[..., 3]
-
-    tmH = p_add(t, p_add(p_mul_rc(xs["n1c"], sp_col(p2e - p2o)),
-                         p_mul_rc(xs["n1tc"], sp_col(p2te - p2to))))
-    tmV = p_add(t, p_mul_rc(xs["col1nng"], sp_col(colp["gaps2_change"])))
-
-    # gvs/gvc: score-typed rows x count-typed cols (commuted operands)
-    gvs = p_add(p_add(p_mul_cr(sp_row(xs["s1go"]), colp["g2so"]),
-                      p_mul_cr(sp_row(xs["s1ge"]), colp["g2se"])),
-                p_add(p_mul_cr(sp_row(xs["s1gto"]), colp["g2sto"]),
-                      p_mul_cr(sp_row(xs["s1gte"]), colp["g2ste"])))
-    gvc = p_add(p_mul_cr(sp_row(xs["s1ge"]), colp["g2ce"]),
-                p_mul_cr(sp_row(xs["s1gte"]), colp["g2cte"]))
-    # v0_cost (col-0 V boundary, per row) rides in the dead lane 0 of gvc
-    lane0 = (jnp.arange(w2pe) == 0)[None, None, None, :]
-    v0hi, v0lo = sp_row(xs["v0_cost"])
-    gvc = (jnp.where(lane0, v0hi, gvc[0]), jnp.where(lane0, v0lo, gvc[1]))
-
-    ghs = p_add(p_add(p_mul_rc(xs["g1so"], sp_col(p2o)),
-                      p_mul_rc(xs["g1se"], sp_col(p2e))),
-                p_add(p_mul_rc(xs["g1sto"], sp_col(p2to)),
-                      p_mul_rc(xs["g1ste"], sp_col(p2te))))
-    ghc = p_add(p_mul_rc(xs["g1ce"], sp_col(p2e)),
-                p_mul_rc(xs["g1cte"], sp_col(p2te)))
-    z = jnp.int32(0)
-    ghc = (jnp.where(lane0, z, ghc[0]), jnp.where(lane0, z, ghc[1]))
-
-    g = colp["s2"].shape[0]
-    sb = colp["s2"].shape[1]
-    full = (g, w1p, sb, w2pe)
-    mats = []
-    for hi, lo in (t, tmH, tmV, gvs, gvc, ghs, ghc):
-        mats.append(jnp.broadcast_to(hi, full))
-        mats.append(jnp.broadcast_to(lo, full))
-
-    h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
-    lastm = colp["last_col_mask"].astype(jnp.int32)
-    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]     # [G, 1, sb]
-    return w1m1, h0hi, h0lo, lastm, mats
-
-
-def _build_mats_single(colp, xs, w1p, w2p):
-    """Stage 1 when every cost-matrix value provably fits i32 (see
-    dp_profile_pallas_paths: 3 * card1 * card2 * C < 2^31): plain i32
-    muls/adds, 7 single-word matrices; the kernel sign-extends on read.
-    ~10x less stage-1 arithmetic and half the HBM traffic vs the pair
-    path; bit-identical within its validity domain."""
-    w2pe = w2p + LANE_PAD
-
-    def row(a):
-        return a.astype(jnp.int32).transpose(0, 2, 1)[:, :, :, None]
-
-    def col(a):
-        return a.astype(jnp.int32)[:, None, :, :]
-
-    c1 = xs["c1"]                     # [G, sb, w1p, 30] counts
-    s2 = colp["s2"]
-    t = row(c1[..., 0]) * col(s2[..., 0])
-    for s in range(1, NO_AMINOACIDS_AND_GAPS):
-        t = t + row(c1[..., s]) * col(s2[..., s])
-
-    p2g = colp["p2gaps"].astype(jnp.int32)
-    p2o, p2e = p2g[..., 0], p2g[..., 1]
-    p2to, p2te = p2g[..., 2], p2g[..., 3]
-
-    tmH = (t + row(xs["n1c"]) * col(p2e - p2o)
-           + row(xs["n1tc"]) * col(p2te - p2to))
-    tmV = t + row(xs["col1nng"]) * col(colp["gaps2_change"])
-    # gvs/gvc/ghs/ghc are rank<=4: the kernel rebuilds them per row from
-    # the column factors in colf and the per-row scalars in rowf
-
-    g = s2.shape[0]
-    sb = s2.shape[1]
-    full = (g, w1p, sb, w2pe)
-    mats = [jnp.broadcast_to(m, full) for m in (t, tmH, tmV)]
-
-    h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
-    lastm = colp["last_col_mask"].astype(jnp.int32)
-    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]     # [G, 1, sb]
-    return w1m1, h0hi, h0lo, lastm, mats
-
-
-def _bc_factors(colp, xs, w1p, w2p, single=False):
-    """Factors of the bc-trick: bc_row = cumsum(ghc_row) distributes as
-    g1ce[r] * cumsum(p2e') + g1cte[r] * cumsum(p2te') (lane0-zeroed
-    columns), exact mod 2^64.  Returns (colf [G, 4(+10), sb, w2pe] i32 -
-    the two cumsums as hi/lo pairs, plus in single mode the 10 raw gap
-    column factors - and rowf [G, w1p, sb, 2|12] i32 per-row scalars)."""
+def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
+    """colp/xs (leading dims [G, sb, ...], see _prepare_pallas/_stage0_one)
+    -> (w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk).  The kernel
+    rebuilds every per-cell cost from these O(W) factors in VMEM."""
     from .dp_jax import _cumsum_log
     w2pe = w2p + LANE_PAD
-    p2g = colp["p2gaps"].astype(jnp.int64)
+    g, sb = colp["s2"].shape[0], colp["s2"].shape[1]
+
+    # bc-trick cumsums (pairs): bc_row = g1ce[r]*cumE + g1cte[r]*cumT
+    p2g = colp["p2gaps"].astype(jnp.int64)              # [G, sb, w2pe, 4]
     z0 = (jnp.arange(w2pe) == 0)[None, None, :]
     cumE = _cumsum_log(jnp.where(z0, jnp.int64(0), p2g[..., 1]))
     cumT = _cumsum_log(jnp.where(z0, jnp.int64(0), p2g[..., 3]))
     eh, el = _split(cumE)
     th, tl = _split(cumT)
     cf = [eh, el, th, tl]
+    for name in ("g2so", "g2se", "g2sto", "g2ste", "g2ce", "g2cte"):
+        cf.append(colp[name].astype(jnp.int32))
+    if single:
+        for k in range(4):
+            cf.append(p2g[..., k].astype(jnp.int32))
+        cf.append(colp["gaps2_change"].astype(jnp.int32))
+        s2stk = colp["s2"].astype(jnp.int32).transpose(0, 3, 1, 2)
+    else:
+        for k in range(4):
+            hi, lo = _split(p2g[..., k])
+            cf += [hi, lo]
+        hi, lo = _split(colp["gaps2_change"].astype(jnp.int64))
+        cf += [hi, lo]
+        s2h, s2l = _split(colp["s2"].astype(jnp.int64))
+        # interleave on the plane axis: plane 2s = hi, 2s+1 = lo
+        s2stk = jnp.stack([s2h, s2l], axis=4).reshape(
+            g, sb, w2pe, 2 * NO_AMINOACIDS_AND_GAPS).transpose(0, 3, 1, 2)
+    colf = jnp.stack(cf, axis=1)                        # [G, P, sb, w2pe]
 
     def rw(name):
         return xs[name].astype(jnp.int32).transpose(0, 2, 1)
 
     rf = [rw("g1ce"), rw("g1cte")]
     if single:
-        for name in ("g2so", "g2se", "g2sto", "g2ste", "g2ce", "g2cte"):
-            cf.append(colp[name].astype(jnp.int32))
-        for k in range(4):
-            cf.append(p2g[..., k].astype(jnp.int32))   # p2o p2e p2to p2te
         for name in ("s1go", "s1ge", "s1gto", "s1gte",
                      "g1so", "g1se", "g1sto", "g1ste", "v0_cost"):
             rf.append(rw(name))
-        rf.append(jnp.zeros_like(rf[0]))               # pad to 12
-    colf = jnp.stack(cf, axis=1)
-    rowf = jnp.stack(rf, axis=3)
-    return colf, rowf
+        for name in ("n1c", "n1tc", "col1nng"):
+            rf.append(rw(name))
+        rf += [jnp.zeros_like(rf[0])] * (_ROWF_K[True] - len(rf))
+    else:
+        for name in ("s1go", "s1ge", "s1gto", "s1gte", "v0_cost"):
+            hi, lo = _split(xs[name].astype(jnp.int64).transpose(0, 2, 1))
+            rf += [hi, lo]
+        for name in ("g1so", "g1se", "g1sto", "g1ste",
+                     "n1c", "n1tc", "col1nng"):
+            rf.append(rw(name))
+        rf += [jnp.zeros_like(rf[0])] * (_ROWF_K[False] - len(rf))
+    rowf = jnp.stack(rf, axis=3)                        # [G, w1p, sb, K]
+
+    c1 = xs["c1"].astype(jnp.int32).transpose(0, 2, 1, 3)   # [G, w1p, sb, 30]
+    c1stk = jnp.concatenate(
+        [c1, jnp.zeros(c1.shape[:3] + (32 - c1.shape[3],), jnp.int32)],
+        axis=3)
+
+    h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
+    lastm = colp["last_col_mask"].astype(jnp.int32)
+    w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]     # [G, 1, sb]
+    return w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk
 
 
-def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk, w1p,
-                w2p, interpret=False, single=False):
-    """Stage 2: the Mosaic row-loop kernel over prebuilt cost matrices."""
+def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
+                w1p, w2p, interpret=False, single=False):
+    """The Mosaic row-loop kernel over O(W) factor tensors."""
     w2pe = w2p + LANE_PAD
     g = h0hi.shape[0]
     grid = (g, w1p // blk)
@@ -570,17 +471,20 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk, w1p,
         return pl.BlockSpec(bs, im, memory_space=pltpu.VMEM)
 
     z0 = np.int32(0)   # index maps must stay i32: x64 literals break Mosaic
-    mat_spec = bm((1, blk, sb, w2pe), lambda b, i: (b, i, z0, z0))
     in_specs = [
         bm((1, 1, sb), lambda b, i: (b, z0, z0)),     # w1m1
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0hi
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # h0lo
         bm((1, sb, w2pe), lambda b, i: (b, z0, z0)),  # lastm
         bm((1, colf.shape[1], sb, w2pe),
-           lambda b, i: (b, z0, z0, z0)),                     # colf
+           lambda b, i: (b, z0, z0, z0)),                      # colf
         bm((1, blk, sb, rowf.shape[3]),
-           lambda b, i: (b, i, z0, z0)),                      # rowf
-    ] + [mat_spec] * len(mats)
+           lambda b, i: (b, i, z0, z0)),                       # rowf
+        bm((1, s2stk.shape[1], sb, w2pe),
+           lambda b, i: (b, z0, z0, z0)),                      # s2stk
+        bm((1, blk, sb, c1stk.shape[3]),
+           lambda b, i: (b, i, z0, z0)),                       # c1stk
+    ]
 
     out_shape = [
         jax.ShapeDtypeStruct((g, w1p, sb, w2pe), jnp.int32),   # dirs
@@ -599,26 +503,18 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk, w1p,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((6 * sb, w2pe), jnp.int32)],
         interpret=interpret,
-    )(w1m1, h0hi, h0lo, lastm, colf, rowf, *mats)
+    )(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk)
     return dirs_i32, fins
 
 
 def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
                    single=False):
-    """Stage 1 + stage 2; returns the raw kernel outputs
+    """Input packing + kernel; returns the raw kernel outputs
     (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
     Traced inside the jitted wrappers below."""
-    import os
-    if single:
-        w1m1, h0hi, h0lo, lastm, mats = _build_mats_single(
-            colp, xs, w1p, w2p)
-    elif os.environ.get("FAMSA_TPU_MATS_PAIRS", "1") == "1":
-        w1m1, h0hi, h0lo, lastm, mats = _build_mats_pairs(colp, xs, w1p, w2p)
-    else:
-        w1m1, h0hi, h0lo, lastm, mats = _build_mats(colp, xs, w1p, w2p)
-    colf, rowf = _bc_factors(colp, xs, w1p, w2p, single=single)
-    return _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk,
-                       w1p, w2p, interpret=interpret, single=single)
+    packed = _pack_kernel_inputs(colp, xs, w1p, w2p, single)
+    return _run_kernel(*packed, sb, blk, w1p, w2p, interpret=interpret,
+                       single=single)
 
 
 @functools.partial(jax.jit,
@@ -833,41 +729,70 @@ def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p):
 # (the axon tunnel moves ~15 MB/s; a 2 MB direction-matrix pull costs more
 # than the whole DP kernel)
 # ---------------------------------------------------------------------------
-def _traceback_one(dirs_m, w1, w2, dir0, steps):
-    """dirs_m: [w1p, w2pe] packed i32, row r = DP row r+1 (DP row 0 is the
-    constant ROW0_PACK boundary).  Walks from (w1, w2) with initial channel
-    dir0; returns (emits [steps] i32 with sentinel 3 after done).
-    Mirrors core/construct.py:_trace_path."""
+_TB_T = 16      # traceback window; T-1 walk steps per window load
 
-    def step(carry, _):
+
+def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
+    """Tiled traceback walk.  dirs_m: [w1p, w2pe] packed i32, row r = DP
+    row r+1 (DP row 0 is the constant ROW0_PACK boundary).  Walks from
+    (w1, w2) with initial channel dir0; returns emits [~nsteps] i32 with
+    sentinel 3 after done.  Mirrors core/construct.py:_trace_path.
+
+    Each lax.scan iteration loads ONE [T, T] window around the cursor and
+    walks T-1 steps inside it (every step moves up and/or left by one, so
+    T-1 steps cannot leave the window) - (T-1)x fewer gather round trips
+    than a per-step walk.  Boundary cells are analytic: DP row 0 reads
+    ROW0_PACK (every channel -> H) and DP col 0 cells are stored as
+    COL0_PACK (every channel -> V), so windows never straddle the virtual
+    row."""
+    T = _TB_T
+    iters = -(-nsteps // (T - 1))
+
+    def outer(carry, _):
         i, j, d, done = carry
-        cell = jax.lax.dynamic_slice(dirs_m, (i - 1, j), (1, 1))[0, 0]
-        cell = jnp.where(i == 0,
-                         jnp.where(j >= 1, jnp.int32(ROW0_PACK), jnp.int32(0)),
-                         cell)
-        nd = jax.lax.shift_right_logical(
-            cell, (2 * d).astype(jnp.int32)) & jnp.int32(3)
-        di = ((d == _D) | (d == _V)).astype(jnp.int32)
-        dj = ((d == _D) | (d == _H)).astype(jnp.int32)
-        act = (~done).astype(jnp.int32)
-        i2 = i - di * act
-        j2 = j - dj * act
-        emit = jnp.where(done, jnp.int32(3), nd)
-        d2 = jnp.where(done, d, nd)
-        done2 = (i2 == 0) & (j2 == 0)
-        return (i2, j2, d2, done2), emit
+        r0 = jnp.maximum(i - T, 0)
+        c0 = jnp.maximum(j - T + 1, 0)
+        win = jax.lax.dynamic_slice(dirs_m, (r0, c0), (T, T))
+        li = i - 1 - r0
+        lj = j - c0
+        rr = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+
+        emits = []
+        for _s in range(T - 1):
+            at_i0 = (i == 0) & (j > 0)
+            at_j0 = (j == 0) & (i > 0)
+            cell = jnp.sum(jnp.where((rr == li) & (cc == lj), win,
+                                     jnp.int32(0)), dtype=jnp.int32)
+            nd = jax.lax.shift_right_logical(
+                cell, (2 * d).astype(jnp.int32)) & jnp.int32(3)
+            nd = jnp.where(at_i0, jnp.int32(_H), nd)
+            nd = jnp.where(at_j0, jnp.int32(_V), nd)
+            emit = jnp.where(done, jnp.int32(3), nd)
+            di = ((d == _D) | (d == _V)).astype(jnp.int32)
+            dj = ((d == _D) | (d == _H)).astype(jnp.int32)
+            act = (~done).astype(jnp.int32)
+            i = i - di * act
+            j = j - dj * act
+            li = li - di * act
+            lj = lj - dj * act
+            d = jnp.where(done, d, nd)
+            done = (i == 0) & (j == 0)
+            emits.append(emit)
+        return (i, j, d, done), jnp.stack(emits)
 
     init = (w1.astype(jnp.int32), w2.astype(jnp.int32),
             dir0.astype(jnp.int32), (w1 == 0) & (w2 == 0))
-    _, emits = jax.lax.scan(step, init, None, length=steps)
-    return emits
+    _, em = jax.lax.scan(outer, init, None, length=iters)
+    return em.reshape(iters * (T - 1))
 
 
 def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
              single=False):
     """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
-    true widths.  Returns (emits [B, w1p+w2p] i32, dir0 [B] i32,
-    total [B] i64).  Direction matrices never leave the device."""
+    true widths.  Returns a packed i32 array [B, S/16 + 3]
+    (emit words..., dir0, total_hi, total_lo).  Direction matrices never
+    leave the device."""
     w2pe = w2p + LANE_PAD
     g = colp["s2"].shape[0]
     b = g * sb
@@ -901,9 +826,13 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
     # ONE packed i32 output: every device->host pull costs a ~26 ms tunnel
     # round trip and ~40 MB/s, so emits (2-bit codes incl. the '3' done
     # sentinel) are packed 16-per-word and ride with dir0/total in a single
-    # array [B, (w1p+w2p)/16 + 3]: words..., dir0, total_hi, total_lo
-    s = w1p + w2p                       # multiple of 128, so 16 | s
-    ew = emits.reshape(emits.shape[0], s // 16, 16)
+    # array [B, S/16 + 3]: words..., dir0, total_hi, total_lo
+    s = emits.shape[1]
+    sp = -(-s // 16) * 16
+    if sp > s:
+        emits = jnp.concatenate(
+            [emits, jnp.full((b, sp - s), 3, jnp.int32)], axis=1)
+    ew = emits.reshape(emits.shape[0], sp // 16, 16)
     shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
     packed_e = jnp.sum(ew << shifts, axis=2, dtype=jnp.int32)
     tot_hi = (total >> np.int64(32)).astype(jnp.int32)
@@ -1013,21 +942,65 @@ class JaxPathResult:
         self.total = total
 
 
+def _merge_i32_bound(params, p1, p2):
+    """Upper bound on |any i32 cost value or partial sum| the single-word
+    kernel computes for this merge, from the ACTUAL score magnitudes (not
+    the worst-case 3*card1*card2*C): match-score prefix sums, tmH/tmV
+    corrections, and the rank<=4 gap matrices gvs/gvc/ghs/ghc."""
+    from .dp_jax import _gap_correction_arrays
+    card1, card2 = len(p1.data), len(p2.data)
+    c1 = p1.counters.astype(np.int64)
+    c2 = p2.counters.astype(np.int64)
+    s1 = p1.scores
+    s2 = p2.scores
+
+    def mx(a):
+        return int(np.abs(a).max(initial=0))
+
+    g1 = _gap_correction_arrays(c1, p1.width, card1)
+    g2 = _gap_correction_arrays(c2, p2.width, card2)
+
+    # t prefix sums: sum_s c1[r, s] * max_j |s2[j, s]|, maxed over rows
+    m2s = np.abs(s2[:, :NO_AMINOACIDS_AND_GAPS]).max(axis=0)
+    t_b = int((c1[:, :NO_AMINOACIDS_AND_GAPS] @ m2s).max(initial=0))
+
+    p2o, p2e = s2[:, GAP_OPEN], s2[:, GAP_EXT]
+    p2to, p2te = s2[:, GAP_TERM_OPEN], s2[:, GAP_TERM_EXT]
+    tmH_b = (t_b + int(c1[:, GAP_OPEN].max(initial=0)) * mx(p2e - p2o)
+             + int(c1[:, GAP_TERM_OPEN].max(initial=0)) * mx(p2te - p2to))
+    g2chg = (c2[:, GAP_OPEN] * (params.gap_ext - params.gap_open)
+             + c2[:, GAP_TERM_OPEN]
+             * (params.gap_term_ext - params.gap_term_open))
+    tmV_b = t_b + int(c1[:, :NO_AMINOACIDS].sum(axis=1).max(initial=0)) \
+        * mx(g2chg)
+
+    s1go, s1ge = s1[:, GAP_OPEN], s1[:, GAP_EXT]
+    s1gto, s1gte = s1[:, GAP_TERM_OPEN], s1[:, GAP_TERM_EXT]
+    gvs_b = (mx(s1go) * mx(g2[0]) + mx(s1ge) * mx(g2[1])
+             + mx(s1gto) * mx(g2[2]) + mx(s1gte) * mx(g2[3]))
+    v0_b = card2 * max(mx(s1gto), mx(s1gte))
+    gvc_b = max(mx(s1ge) * mx(g2[4]) + mx(s1gte) * mx(g2[5]), v0_b)
+    ghs_b = (mx(g1[0]) * mx(p2o) + mx(g1[1]) * mx(p2e)
+             + mx(g1[2]) * mx(p2to) + mx(g1[3]) * mx(p2te))
+    ghc_b = mx(g1[4]) * mx(p2e) + mx(g1[5]) * mx(p2te)
+    # raw factors stored as single i32 words must themselves fit, even
+    # when every product they enter is small (e.g. a gapless profile2)
+    raw_b = max(int(m2s.max(initial=0)),
+                mx(s1go), mx(s1ge), mx(s1gto), mx(s1gte),
+                mx(p2o), mx(p2e), mx(p2to), mx(p2te), mx(g2chg))
+    return max(t_b, tmH_b, tmV_b, gvs_b, gvc_b, ghs_b, ghc_b, raw_b)
+
+
 def _single_word_ok(params, pairs):
-    """True iff every cost-matrix value of every merge provably fits i32:
-    |mat| <= 3 * card1 * card2 * C with C = max |substitution score| +
-    sum |gap costs| (see _build_mats_single)."""
-    c = int(np.abs(np.asarray(params.score_matrix, dtype=np.int64)).max())
-    c += sum(abs(int(x)) for x in (params.gap_open, params.gap_ext,
-                                   params.gap_term_open,
-                                   params.gap_term_ext))
-    prod = max(len(p1.data) * len(p2.data) for p1, p2 in pairs)
-    return 3 * prod * c < 2 ** 31
+    """True iff every i32 cost value/partial sum of every merge provably
+    fits i32 (data-driven per-merge bounds; see _merge_i32_bound)."""
+    return all(_merge_i32_bound(params, p1, p2) < 2 ** 31
+               for p1, p2 in pairs)
 
 
 class PendingPaths:
     """In-flight batched DP dispatch: a single packed device array
-    [B, steps+3] (emits..., dir0, total_hi, total_lo) not yet pulled.
+    [B, S/16+3] (emits..., dir0, total_hi, total_lo) not yet pulled.
     resolve() blocks, pulls the O(W) paths in ONE transfer and returns
     [JaxPathResult].  Dispatching several batches before resolving
     pipelines host packing + uploads against device compute."""
@@ -1067,7 +1040,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
         single = _single_word_ok(params, pairs)
     w1p = max(_pallas_bucket(p1.width) for p1, _ in pairs)
     w2p = max(_pallas_bucket(p2.width) for _, p2 in pairs)
-    blk = _row_block(sb, w2p + LANE_PAD, n_mats=3 if single else 14)
+    blk = _row_block(sb, w2p + LANE_PAD, single=single)
 
     g = (n + sb - 1) // sb
     b = g * sb
@@ -1128,7 +1101,8 @@ def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False,
         force_dense=force_dense).resolve()
 
 
-def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):
+def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False,
+                              single=False):
     """pairs: list of (p1, p2); same contract as dp_profile_jax_batched."""
     n = len(pairs)
     if sb is None:
@@ -1136,7 +1110,7 @@ def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):
     w1p = max(_pallas_bucket(p1.width) for p1, _ in pairs)
     w2p = max(_pallas_bucket(p2.width) for _, p2 in pairs)
     w2pe = w2p + LANE_PAD
-    blk = _row_block(sb, w2pe)
+    blk = _row_block(sb, w2pe, single=single)
 
     g = (n + sb - 1) // sb
     colps, xsps = [], []
@@ -1152,7 +1126,7 @@ def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False):
             for k in ds[0]}
 
     dirs, fins = _dp_pallas(stack(colps), stack(xsps), sb, blk, w1p, w2p,
-                            interpret=interpret)
+                            interpret=interpret, single=single)
     dirs = np.asarray(dirs)
     fins = np.asarray(fins)
 

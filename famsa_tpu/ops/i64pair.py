@@ -112,11 +112,6 @@ def cumsum_log(a):
     return a
 
 
-def mul_small(a, m_hi, m_lo_i64):
-    """Not needed: products are precomputed outside the loop in s64."""
-    raise NotImplementedError
-
-
 def concat(parts, axis=-1):
     return (jnp.concatenate([p[0] for p in parts], axis=axis),
             jnp.concatenate([p[1] for p in parts], axis=axis))

@@ -36,6 +36,24 @@ def make_mesh(n_devices=None, axis="rows"):
     return Mesh(np.array(devs), (axis,))
 
 
+_AUTO_MESH = {}
+
+
+def auto_mesh(axis="rows"):
+    """Production mesh over ALL visible devices, or None when the process
+    has a single device (or sharding is disabled with FAMSA_TPU_SHARD=0).
+    The pipeline calls this to route guide-tree distances, Prim rounds and
+    giant merges through the sharded paths."""
+    import os
+    if os.environ.get("FAMSA_TPU_SHARD", "1") == "0":
+        return None
+    if axis not in _AUTO_MESH:
+        devs = jax.devices()
+        _AUTO_MESH[axis] = (Mesh(np.array(devs), (axis,))
+                            if len(devs) > 1 else None)
+    return _AUTO_MESH[axis]
+
+
 # ----------------------------------------------------------------------
 # Sharded distance round (Prim's algorithm inner step)
 # ----------------------------------------------------------------------

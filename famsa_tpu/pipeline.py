@@ -111,9 +111,16 @@ def build_guide_tree(params, sequences, tree: GuideTree):
         slink_tree(n, lambda i: be.row_prefix(i, i), tree_list)
     elif params.gt_method == P.GT_MST_PRIM:
         if backend == "jax" and measure == P.DIST_INDEL075_DIV_LCS:
-            # whole-tree Prim in one device program (ops/prim_device.py)
-            from .ops.prim_device import mst_prim_tree_device
-            mst_prim_tree_device(sequences, tree_list)
+            from .parallel.mesh import auto_mesh
+            mesh = auto_mesh("rows")
+            if mesh is not None and n >= mesh.devices.size:
+                # multi-chip: whole Prim loop sharded over the mesh
+                from .parallel.dist_sharded import mst_prim_tree_sharded
+                mst_prim_tree_sharded(sequences, tree_list, mesh)
+            else:
+                # whole-tree Prim in one device program (ops/prim_device.py)
+                from .ops.prim_device import mst_prim_tree_device
+                mst_prim_tree_device(sequences, tree_list)
         else:
             be = get_distance_backend(sequences, measure, np.float64, backend)
             mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list)
@@ -186,10 +193,16 @@ def compute_alignment(params, gapped_sequences, tree_list):
 
 
 def _compute_alignment_batched(params, gapped_sequences, tree_list):
-    """Level-synchronous schedule: big ready merges are grouped by bucket
-    shape and dispatched as one vmapped device kernel; small merges run on
-    the native host DP."""
+    """Ready-queue schedule (reference CProfileQueue, queues.cpp:27-124):
+    a merge becomes dispatchable the moment both children resolve.  Ready
+    merges are grouped by bucket shape and dispatched as vmapped device
+    kernels WITHOUT waiting for the rest of their tree level; batches
+    resolve in dispatch order while new work keeps entering the pipeline,
+    so caterpillar-shaped dendrograms (one merge per level) still overlap
+    host construct with device compute.  Small merges run on the native
+    host DP and release their parents immediately."""
     import os
+    from collections import deque
 
     import jax as _jax
 
@@ -242,73 +255,97 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
             return Profile.from_gapped_sequence(gapped_sequences[child], params)
         return done.pop(child)
 
-    while ready:
-        batch_nodes = ready
-        ready = []
+    def release(node_id):
+        parent = parent_of.get(node_id)
+        if parent is not None:
+            n_pending[parent] -= 1
+            if n_pending[parent] == 0:
+                ready.append(parent)
 
-        tasks = []
-        for node_id in batch_nodes:
-            a, b = children[node_id]
-            prof1 = get_profile(a)
-            prof2 = get_profile(b)
-            if ref_thr and prof1.size() + prof2.size() > ref_thr:
-                if 2 < prof1.size() <= ref_thr:
-                    prof1 = refine_alignment(prof1, params, backend=params.backend)
-                if 2 < prof2.size() <= ref_thr:
-                    prof2 = refine_alignment(prof2, params, backend=params.backend)
-            if prof1.counters is None:
-                prof1.calculate_counters_scores()
-            if prof2.counters is None:
-                prof2.calculate_counters_scores()
-            tasks.append((node_id, prof1, prof2))
+    pending = deque()
+    while ready or pending:
+        # drain everything currently ready into dispatches; host merges
+        # resolve inline and may ready their parents, so keep draining
+        while ready:
+            batch_nodes = ready
+            ready = []
 
-        # split into device-worthy (dispatch-ordered like CProfile::Align)
-        # and host tasks
-        device = []
-        host = []
-        for node_id, p1, p2 in tasks:
-            if (p1.width * p2.width >= _JAX_MIN_CELLS
-                    and p1.size() + p2.size() > 2):
-                device.append((node_id, p1, p2))
-            else:
-                host.append((node_id, p1, p2))
+            tasks = []
+            for node_id in batch_nodes:
+                a, b = children[node_id]
+                prof1 = get_profile(a)
+                prof2 = get_profile(b)
+                if ref_thr and prof1.size() + prof2.size() > ref_thr:
+                    if 2 < prof1.size() <= ref_thr:
+                        prof1 = refine_alignment(prof1, params,
+                                                 backend=params.backend)
+                    if 2 < prof2.size() <= ref_thr:
+                        prof2 = refine_alignment(prof2, params,
+                                                 backend=params.backend)
+                if prof1.counters is None:
+                    prof1.calculate_counters_scores()
+                if prof2.counters is None:
+                    prof2.calculate_counters_scores()
+                tasks.append((node_id, prof1, prof2))
 
-        for node_id, p1, p2 in host:
-            dest = Profile(params)
-            align_into(dest, p1, p2, backend="numpy")
-            done[node_id] = dest
+            # split into device-worthy (dispatch-ordered like
+            # CProfile::Align), cross-chip (giant), and host tasks
+            from .core.aligner import _SHARD_DP_CELLS
+            from .parallel.mesh import auto_mesh
+            have_mesh = auto_mesh("cols") is not None
+            device = []
+            host = []
+            sharded = []
+            for node_id, p1, p2 in tasks:
+                cells = p1.width * p2.width
+                if (have_mesh and cells >= _SHARD_DP_CELLS
+                        and p1.size() + p2.size() > 2):
+                    sharded.append((node_id, p1, p2))
+                elif cells >= _JAX_MIN_CELLS and p1.size() + p2.size() > 2:
+                    device.append((node_id, p1, p2))
+                else:
+                    host.append((node_id, p1, p2))
 
-        # group device tasks by bucket pair after the reference's operand
-        # swap rule (nnz1*w2 < nnz2*w1)
-        groups = {}
-        for node_id, p1, p2 in device:
-            nnz1 = int(np.count_nonzero(p1.counters))
-            nnz2 = int(np.count_nonzero(p2.counters))
-            if not (nnz1 * p2.width < nnz2 * p1.width):
-                p1, p2 = p2, p1
-            key = (_bucket(p1.width), _bucket(p2.width))
-            groups.setdefault(key, []).append((node_id, p1, p2))
+            for node_id, p1, p2 in host:
+                dest = Profile(params)
+                align_into(dest, p1, p2, backend="numpy")
+                done[node_id] = dest
+                release(node_id)
 
-        # dispatch every chunk of the level first (uploads/compute of
-        # chunk k+1 overlap the pull/construct of chunk k), then resolve
-        pending = []
-        for key, items in groups.items():
-            for k0 in range(0, len(items), max_batch):
-                chunk = items[k0:k0 + max_batch]
-                pending.append((chunk, _dispatch(
-                    params, [(p1, p2) for _, p1, p2 in chunk])))
-        for chunk, pnd in pending:
+            for node_id, p1, p2 in sharded:
+                # column-striped cross-chip DP (align_into routes on size)
+                dest = Profile(params)
+                align_into(dest, p1, p2, backend=params.backend)
+                done[node_id] = dest
+                release(node_id)
+
+            # group device tasks by bucket pair after the reference's
+            # operand swap rule (nnz1*w2 < nnz2*w1)
+            groups = {}
+            for node_id, p1, p2 in device:
+                nnz1 = int(np.count_nonzero(p1.counters))
+                nnz2 = int(np.count_nonzero(p2.counters))
+                if not (nnz1 * p2.width < nnz2 * p1.width):
+                    p1, p2 = p2, p1
+                key = (_bucket(p1.width), _bucket(p2.width))
+                groups.setdefault(key, []).append((node_id, p1, p2))
+
+            for key, items in groups.items():
+                for k0 in range(0, len(items), max_batch):
+                    chunk = items[k0:k0 + max_batch]
+                    pending.append((chunk, _dispatch(
+                        params, [(p1, p2) for _, p1, p2 in chunk])))
+
+        # resolve the oldest in-flight batch (uploads/compute of younger
+        # batches overlap this pull + host construct), then loop back to
+        # dispatch whatever it readied
+        if pending:
+            chunk, pnd = pending.popleft()
             for (node_id, p1, p2), res in zip(chunk, pnd.resolve()):
                 dest = Profile(params)
                 _construct(dest, p1, p2, res)
                 done[node_id] = dest
-
-        for node_id in batch_nodes:
-            parent = parent_of.get(node_id)
-            if parent is not None:
-                n_pending[parent] -= 1
-                if n_pending[parent] == 0:
-                    ready.append(parent)
+                release(node_id)
 
     assert len(done) == 1
     return done.popitem()[1]

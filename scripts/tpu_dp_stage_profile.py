@@ -2,10 +2,12 @@
 """Time each stage of the Pallas DP path separately on the TPU.
 
 Stages (see famsa_tpu/ops/dp_pallas.py):
-  0: counters -> colp/xs        (_stage0_one vmapped)
-  1: colp/xs -> 14 cost mats    (_build_mats, emulated-i64 XLA)
-  2: mats -> dirs/fins          (_run_kernel, the Mosaic kernel)
-  3: dirs/fins -> paths         (traceback scan)
+  0: counters -> colp/xs         (_stage0_one vmapped)
+  1: colp/xs -> factor tensors   (_pack_kernel_inputs; O(W) only, the
+                                  per-cell cost matrices are built
+                                  in-kernel since round 2)
+  2: factors -> dirs/fins        (_run_kernel, the Mosaic kernel)
+  3: dirs/fins -> paths          (tiled traceback)
 Plus the fused full program for reference.
 
 Timing rule for this box: block_until_ready does not fence remote
@@ -68,12 +70,11 @@ def main():
     pairs = [(_random_profile(rng, params, CARD, W),
               _random_profile(rng, params, CARD, W)) for _ in range(BATCH)]
 
+    single = dpp._single_word_ok(params, pairs)
     w1p = max(dpp._pallas_bucket(p1.width) for p1, _ in pairs)
     w2p = max(dpp._pallas_bucket(p2.width) for _, p2 in pairs)
-    blk = dpp._row_block(
-        SB, w2p + dpp.LANE_PAD,
-        n_mats=3 if dpp._single_word_ok(params, pairs) else 14)
-    print(f"w1p={w1p} w2p={w2p} blk={blk}", flush=True)
+    blk = dpp._row_block(SB, w2p + dpp.LANE_PAD, single=single)
+    print(f"w1p={w1p} w2p={w2p} blk={blk} single={single}", flush=True)
 
     g = (BATCH + SB - 1) // SB
     b = g * SB
@@ -119,37 +120,25 @@ def main():
 
     (colp, xs), dt0 = timed("stage0 (counters->colp/xs)", run0)
 
-    # ---- stage 1 (production variant: single-word when safe) ----
-    import famsa_tpu.ops.dp_pallas as _d
-    single = dpp._single_word_ok(params, pairs)
-    print(f"single-word mode: {single}", flush=True)
-
+    # ---- stage 1: O(W) factor packing ----
     @functools.partial(jax.jit, static_argnames=("single",))
     def f_stage1(colp, xs, single):
-        if single:
-            mats_out = dpp._build_mats_single(colp, xs, w1p, w2p)
-        else:
-            mats_out = dpp._build_mats_pairs(colp, xs, w1p, w2p)
-        colf, rowf = dpp._bc_factors(colp, xs, w1p, w2p, single=single)
-        return mats_out + (colf, rowf)
+        return dpp._pack_kernel_inputs(colp, xs, w1p, w2p, single)
 
     def run1():
         out = f_stage1(colp, xs, single)
-        np.asarray(out[4][0][0, 0, 0, :2])
+        np.asarray(out[4][0, 0, 0, :2])
         return out
 
-    (mats_out), dt1 = timed("stage1 (cost mats)", run1)
-    w1m1, h0hi, h0lo, lastm, mats, colf, rowf = mats_out
+    packed, dt1 = timed("stage1 (factor packing)", run1)
 
     # ---- stage 2 ----
     @functools.partial(jax.jit, static_argnames=("sb", "blk", "single"))
-    def f_stage2(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk, single):
-        return dpp._run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats,
-                               sb, blk, w1p, w2p, single=single)
+    def f_stage2(packed, sb, blk, single):
+        return dpp._run_kernel(*packed, sb, blk, w1p, w2p, single=single)
 
     def run2():
-        dirs, fins = f_stage2(w1m1, h0hi, h0lo, lastm, colf, rowf, mats,
-                              sb=SB, blk=blk, single=single)
+        dirs, fins = f_stage2(packed, sb=SB, blk=blk, single=single)
         np.asarray(fins[0, 0, 0, :2])
         return dirs, fins
 

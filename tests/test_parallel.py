@@ -66,6 +66,118 @@ def test_prim_round_sharded_matches_host():
     assert float(best_d) == m
 
 
+def test_dp_profile_sharded_matches_host():
+    """Full cross-chip merge (parallel/dp_sharded.py) vs the NumPy
+    reference DP: packed directions and final D/H/V, byte-identical."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dp_jax_parity import _make_profile
+
+    from famsa_tpu.core.dp import dp_prof_prof
+    from famsa_tpu.core.params import Params
+    from famsa_tpu.parallel.dp_sharded import dp_profile_sharded
+
+    rng = np.random.default_rng(5)
+    params = Params()
+    params.adjust(50)
+    mesh = make_mesh(axis="cols")
+
+    for n1, n2, w1, w2 in [(3, 4, 45, 70), (2, 2, 30, 30)]:
+        p1 = _make_profile(rng, params, n1, w1)
+        p2 = _make_profile(rng, params, n2, w2)
+        ref = dp_prof_prof(params, p1, p2)
+        got = dp_profile_sharded(params, p1, p2, mesh)
+        w1r, w2r = p1.width, p2.width
+        assert ref.last == got.last
+        assert np.array_equal(ref.dirs_D[:w1r + 1, :w2r + 1],
+                              got.dirs_D[:w1r + 1, :w2r + 1])
+        assert np.array_equal(ref.dirs_H[1:w1r + 1, 1:w2r + 1],
+                              got.dirs_H[1:w1r + 1, 1:w2r + 1])
+        assert np.array_equal(ref.dirs_V[1:w1r + 1, 1:w2r + 1],
+                              got.dirs_V[1:w1r + 1, 1:w2r + 1])
+
+
+def _random_sequences(rng, n, lmax):
+    from famsa_tpu.core.sequence import Sequence
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    seqs = []
+    for k in range(n):
+        l = int(rng.integers(lmax // 2, lmax))
+        s = "".join(aa[rng.integers(0, 20)] for _ in range(l))
+        seqs.append(Sequence(f">s{k}", s, k))
+    return seqs
+
+
+def test_mst_prim_tree_sharded_matches_host():
+    from famsa_tpu.ops.distance import get_distance_backend
+    from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS
+    from famsa_tpu.parallel.dist_sharded import mst_prim_tree_sharded
+    from famsa_tpu.tree.mst_prim import mst_prim_tree
+
+    rng = np.random.default_rng(11)
+    n = 41                               # not a multiple of the mesh size
+    seqs = _random_sequences(rng, n, 120)
+    lmax = max(s.length for s in seqs)
+    for s in seqs:
+        s.resize(lmax)
+
+    be = get_distance_backend(seqs, DIST_INDEL075_DIV_LCS, np.float64,
+                              backend="numpy")
+    tree_host = [(-1, -1)] * n
+    mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_host)
+
+    tree_sharded = [(-1, -1)] * n
+    mst_prim_tree_sharded(seqs, tree_sharded, make_mesh(axis="rows"))
+    assert tree_host == tree_sharded
+
+
+def test_sharded_distance_backend_matches_host():
+    from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS, DIST_PID
+    from famsa_tpu.ops.distance import DistanceBackend
+    from famsa_tpu.parallel.dist_sharded import ShardedDistanceBackend
+
+    rng = np.random.default_rng(13)
+    seqs = _random_sequences(rng, 27, 90)
+    lmax = max(s.length for s in seqs)
+    for s in seqs:
+        s.resize(lmax)
+
+    mesh = make_mesh(axis="rows")
+    for measure, dtype in [(DIST_INDEL075_DIV_LCS, np.float64),
+                           (DIST_PID, np.float32)]:
+        host = DistanceBackend(seqs, measure, dtype)
+        shrd = ShardedDistanceBackend(seqs, measure, dtype, mesh, block=4)
+        for i in (1, 5, 11, 26):
+            assert np.array_equal(host.row_prefix(i, i), shrd.row_prefix(i, i))
+        assert np.array_equal(host.row(3), shrd.row(3))
+
+
+def test_end_to_end_sharded_alignment(monkeypatch):
+    """A small family aligned with backend='jax' on the 8-device CPU mesh
+    (sharded Prim tree + sharded distance rows + cross-chip DP merges
+    forced via a tiny cell threshold) must be byte-identical to the pure
+    host path."""
+    import famsa_tpu.core.aligner as aligner
+    from famsa_tpu.core.params import Params
+    from famsa_tpu.pipeline import compute_msa
+
+    monkeypatch.setattr(aligner, "_JAX_MIN_CELLS", 1000)
+    monkeypatch.setattr(aligner, "_SHARD_DP_CELLS", 5000)
+
+    rng = np.random.default_rng(17)
+
+    def run(backend):
+        seqs = _random_sequences(rng.__class__(np.random.PCG64(99)), 24, 100)
+        params = Params()
+        params.backend = backend
+        res = compute_msa(params, seqs)
+        return [gs.decode() for gs in res.alignment]
+
+    host = run("numpy")
+    sharded = run("jax")
+    assert host == sharded
+
+
 def test_dp_row_sharded_matches_sequential():
     rng = np.random.default_rng(1)
     w = 512
