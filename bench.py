@@ -78,15 +78,33 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
 
     if on_tpu:
-        # production TPU path: Mosaic DP kernel + on-device traceback
-        # (only the O(W) paths and final scores leave the device); batches
-        # are dispatched async and resolved in order, exactly like the
-        # pipeline's level scheduler (pipeline.py:_compute_alignment_batched)
+        # production TPU path: Mosaic DP kernel + on-device traceback +
+        # on-device merged counters.  Counters are DEVICE-RESIDENT as in
+        # the pipeline's steady state (a merge's counters are produced on
+        # device by the previous merge, ops/dp_pallas.py:
+        # merged_counters_device); only the O(W) paths leave the device.
+        import jax.numpy as jnp
+
         from famsa_tpu.ops.dp_pallas import (_pallas_bucket as _bucket,
                                              dp_profile_pallas_paths_async)
 
+        def _make_dev(pairs):
+            w1p = max(_bucket(p1.width) for p1, _ in pairs)
+            w2p = max(_bucket(p2.width) for _, p2 in pairs)
+            dev = []
+            for p1, p2 in pairs:
+                c1 = np.zeros((w1p + 1, 32), np.int32)
+                c2 = np.zeros((w2p + 1, 32), np.int32)
+                c1[:p1.width + 1] = p1.counters
+                c2[:p2.width + 1] = p2.counters
+                dev.append((jnp.asarray(c1), jnp.asarray(c2)))
+            return dev
+
+        _dev_pairs = None
+
         def _dp(params, pairs):
-            return dp_profile_pallas_paths_async(params, pairs)
+            return dp_profile_pallas_paths_async(
+                params, pairs, dev_pairs=_dev_pairs, want_merged=True)
 
         def _drain(pending):
             return [p.resolve() for p in pending]
@@ -110,6 +128,8 @@ def main():
 
     pairs = [( _random_profile(rng, params, card, w),
                _random_profile(rng, params, card, w)) for _ in range(batch)]
+    if on_tpu:
+        _dev_pairs = _make_dev(pairs)
 
     # warmup / compile
     t0 = time.perf_counter()
@@ -127,6 +147,32 @@ def main():
     rate = cells / dt
     print(f"dp kernel: batch={batch} x {wp}^2 in {dt*1e3:.2f} ms -> "
           f"{rate:.3e} cells/s", file=sys.stderr)
+
+    if on_tpu and os.environ.get("BENCH_LCS", "1") == "1":
+        # secondary metric (stderr): distance-kernel throughput - the
+        # guide-tree stage's hot loop (reference lcsbp_avx2_intr.cpp:86)
+        from famsa_tpu.core.sequence import Sequence
+        from famsa_tpu.ops.distance import get_distance_backend
+        from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS
+        aa = "ARNDCQEGHILKMFPSTWYV"
+        nq, ln = 4096, 300
+        seqs = [Sequence(f">q{k}",
+                         "".join(aa[rng.integers(0, 20)] for _ in range(ln)),
+                         k) for k in range(nq)]
+        lmax = max(s.length for s in seqs)
+        for s in seqs:
+            s.resize(lmax)
+        be = get_distance_backend(seqs, DIST_INDEL075_DIV_LCS, np.float64,
+                                  backend="jax")
+        be.row(0)                                   # warm / compile
+        nrows = 32
+        t0 = time.perf_counter()
+        for r in range(1, nrows + 1):
+            be.row(r)
+        dt_lcs = time.perf_counter() - t0
+        print(f"lcs distance rows: {nrows} x {nq} pairs (len {ln}) in "
+              f"{dt_lcs*1e3:.1f} ms -> {nrows*nq/dt_lcs:.3e} pairs/s",
+              file=sys.stderr)
 
     baseline = measure_baseline()
     print(f"baseline (reference famsa, this host): {baseline:.3e} cells/s",

@@ -75,6 +75,13 @@ def save_alignment(file_name, gapped_sequences, gzip_level=-1,
 
     payload = out.getvalue()
     if gzip_level >= 0:
+        if gzip_level > 9:
+            # the reference's libdeflate supports levels 10-12
+            # (io_service.cpp:131); zlib tops out at 9 - the output is
+            # still valid gzip, just a slightly larger stream
+            sys.stderr.write(
+                f"Warning: -gz_lev {gzip_level} not available "
+                "(zlib maximum is 9); compressing at level 9.\n")
         payload = gzip.compress(payload, compresslevel=min(gzip_level, 9))
 
     if file_name == "STDOUT":

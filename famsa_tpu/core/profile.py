@@ -15,7 +15,8 @@ from .sequence import GappedSequence
 
 
 class Profile:
-    __slots__ = ("params", "data", "counters", "scores", "width", "total_score")
+    __slots__ = ("params", "data", "counters", "scores", "width",
+                 "total_score", "dev_counters")
 
     def __init__(self, params):
         self.params = params
@@ -24,6 +25,10 @@ class Profile:
         self.scores = None        # int64 [width+1, 32]
         self.width = 0
         self.total_score = 0
+        # device-resident copy of `counters` ([width+1, 32] i32 jax array)
+        # maintained by the pipeline's pallas path: merges read it instead
+        # of re-uploading counters (ops/dp_pallas.py:merged_counters_device)
+        self.dev_counters = None
 
     @classmethod
     def from_gapped_sequence(cls, gs: GappedSequence, params):

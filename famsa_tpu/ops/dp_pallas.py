@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.defs import (GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
+from ..core.defs import (GAP, GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
                          INFTY, NO_AMINOACIDS, NO_AMINOACIDS_AND_GAPS)
 from .dp_jax import JaxDPResult, _bucket, _prepare_inputs
 
@@ -393,27 +393,54 @@ def _split(x):
     return ((x >> np.int64(32)).astype(jnp.int32), x.astype(jnp.int32))
 
 
+def _sx32(x):
+    """Sign-extend an i32 array into an (hi, lo) pair."""
+    return (jax.lax.shift_right_arithmetic(
+        x, jnp.full(x.shape, 31, x.dtype)), x)
+
+
+def _cumsum_pairs(p):
+    """Inclusive add-scan of an (hi, lo) pair along the last axis,
+    log-depth, pure i32 ops (exact mod 2^64).  Replaces s64 _cumsum_log
+    in device programs - the XLA TPU x64 legalizer shreds s64 scans."""
+    h, l = p
+    n = h.shape[-1]
+    pad = [(0, 0)] * (h.ndim - 1)
+    k = 1
+    while k < n:
+        hs = jnp.pad(h[..., :-k], pad + [(k, 0)])
+        ls = jnp.pad(l[..., :-k], pad + [(k, 0)])
+        h, l = p_add((h, l), (hs, ls))
+        k *= 2
+    return h, l
+
+
 def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
     """colp/xs (leading dims [G, sb, ...], see _prepare_pallas/_stage0_one)
     -> (w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk).  The kernel
     rebuilds every per-cell cost from these O(W) factors in VMEM."""
-    from .dp_jax import _cumsum_log
     w2pe = w2p + LANE_PAD
     g, sb = colp["s2"].shape[0], colp["s2"].shape[1]
 
-    # bc-trick cumsums (pairs): bc_row = g1ce[r]*cumE + g1cte[r]*cumT
-    p2g = colp["p2gaps"].astype(jnp.int64)              # [G, sb, w2pe, 4]
+    # bc-trick cumsums: bc_row = g1ce[r]*cumE + g1cte[r]*cumT, built as
+    # (hi, lo) pairs with i32 scan rounds (s64 scans get shredded)
     z0 = (jnp.arange(w2pe) == 0)[None, None, :]
-    cumE = _cumsum_log(jnp.where(z0, jnp.int64(0), p2g[..., 1]))
-    cumT = _cumsum_log(jnp.where(z0, jnp.int64(0), p2g[..., 3]))
-    eh, el = _split(cumE)
-    th, tl = _split(cumT)
+    if single:
+        p2g = colp["p2gaps"].astype(jnp.int32)          # [G, sb, w2pe, 4]
+        eP = _sx32(jnp.where(z0, jnp.int32(0), p2g[..., 1]))
+        tP = _sx32(jnp.where(z0, jnp.int32(0), p2g[..., 3]))
+    else:
+        p2g = colp["p2gaps"].astype(jnp.int64)
+        eP = _split(jnp.where(z0, jnp.int64(0), p2g[..., 1]))
+        tP = _split(jnp.where(z0, jnp.int64(0), p2g[..., 3]))
+    eh, el = _cumsum_pairs(eP)
+    th, tl = _cumsum_pairs(tP)
     cf = [eh, el, th, tl]
     for name in ("g2so", "g2se", "g2sto", "g2ste", "g2ce", "g2cte"):
         cf.append(colp[name].astype(jnp.int32))
     if single:
         for k in range(4):
-            cf.append(p2g[..., k].astype(jnp.int32))
+            cf.append(p2g[..., k])
         cf.append(colp["gaps2_change"].astype(jnp.int32))
         s2stk = colp["s2"].astype(jnp.int32).transpose(0, 3, 1, 2)
     else:
@@ -454,7 +481,10 @@ def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
         [c1, jnp.zeros(c1.shape[:3] + (32 - c1.shape[3],), jnp.int32)],
         axis=3)
 
-    h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))   # [G, sb, w2pe]
+    if "h0hi" in colp:                                  # device stage 0
+        h0hi, h0lo = colp["h0hi"], colp["h0lo"]
+    else:                                               # host _prepare_pallas
+        h0hi, h0lo = _split(colp["h0"].astype(jnp.int64))
     lastm = colp["last_col_mask"].astype(jnp.int32)
     w1m1 = xs["w1m1"].astype(jnp.int32)[:, None, :]     # [G, 1, sb]
     return w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk
@@ -604,26 +634,27 @@ def _prepare_pallas(params, p1, p2, w1p, w2p):
 # core/profile.py:_calculate_scores and ops/dp_jax.py:_prepare_inputs /
 # _gap_correction_arrays exactly (integer arithmetic, bit-identical).
 # ---------------------------------------------------------------------------
-def _scores_from_counters(c, card, w, sm, gp):
+def _scores_from_counters(c, card, w, sm, gp, it=jnp.int64):
     """[Wp+1, 32] counters -> [Wp+1, 32] scores (profile.cpp:162-217).
-    c i64, card/w traced scalars, sm [24, 24] i64, gp static ints."""
-    go, ge, gto, gte = gp
+    c/card in dtype `it` (i32 when the single-word bound holds - avoids
+    the s64 legalizer), w traced scalar, sm [24, 24], gp static ints."""
+    go, ge, gto, gte = (it(x) for x in gp)
     wp = c.shape[0] - 1
     cc = c[1:]
     gap_cost = (cc[:, GAP_OPEN] * go + cc[:, GAP_TERM_OPEN] * gto
                 + cc[:, GAP_EXT] * ge + cc[:, GAP_TERM_EXT] * gte)
-    sym = jnp.zeros((wp, NO_AMINOACIDS), jnp.int64)
+    sym = jnp.zeros((wp, NO_AMINOACIDS), it)
     for s in range(NO_AMINOACIDS):
         sym = sym + cc[:, s:s + 1] * sm[s][None, :]
-    tot = cc[:, :NO_AMINOACIDS].sum(axis=1)
+    tot = cc[:, :NO_AMINOACIDS].sum(axis=1, dtype=it)
 
-    scores = jnp.zeros((wp + 1, 32), jnp.int64)
+    scores = jnp.zeros((wp + 1, 32), it)
     scores = scores.at[1:, :NO_AMINOACIDS].set(sym + gap_cost[:, None])
     scores = scores.at[1:, GAP_OPEN].set(tot * go)
     scores = scores.at[1:, GAP_TERM_OPEN].set(tot * gto)
     scores = scores.at[1:, GAP_EXT].set(tot * ge)
     scores = scores.at[1:, GAP_TERM_EXT].set(tot * gte)
-    row0 = jnp.zeros(32, jnp.int64)
+    row0 = jnp.zeros(32, it)
     row0 = row0.at[GAP_OPEN].set(card * go)
     row0 = row0.at[GAP_EXT].set(card * ge)
     row0 = row0.at[GAP_TERM_EXT].set(card * gte)
@@ -631,14 +662,14 @@ def _scores_from_counters(c, card, w, sm, gp):
     return scores.at[0].set(row0)
 
 
-def _gap_corrections_device(c, w, card):
+def _gap_corrections_device(c, w, card, it=jnp.int64):
     """ops/dp_jax.py:_gap_correction_arrays, traced (w/card scalars)."""
     wp = c.shape[0] - 1
     j = np.arange(wp + 1)
     nxt = np.minimum(j + 1, wp)
     internal = (j >= 1) & (j < w)
     at_end = j == w
-    z = jnp.int64(0)
+    z = it(0)
 
     st_to = jnp.where(internal, c[nxt, GAP_TERM_OPEN], z)
     st_te = jnp.where(internal, c[j, GAP_TERM_OPEN] + c[j, GAP_TERM_EXT], z)
@@ -656,53 +687,76 @@ def _gap_corrections_device(c, w, card):
     return st_open, st_ext, st_to, st_te, ct_ext, ct_te
 
 
-def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p):
+def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p,
+                it=jnp.int64):
     """Device equivalent of _prepare_inputs + _prepare_pallas for ONE merge.
-    c1 [w1p+1, 32] i64, c2 [w2p+1, 32] i64; w1/w2/card1/card2 i64 scalars.
-    Returns (colp, xs) dicts in the pallas layout."""
-    from .dp_jax import _cumsum_log
+    c1 [w1p+1, 32], c2 [w2p+1, 32]; w1/w2/card1/card2 scalars.  All score
+    arithmetic runs in dtype `it` - i32 when the single-word bound holds
+    (no s64 ops for the legalizer to shred), i64 otherwise.  The h0
+    boundary row is computed as an (hi, lo) i32 pair in BOTH modes (its
+    cumsum can exceed i32).  Returns (colp, xs) dicts in the pallas
+    layout; colp carries h0hi/h0lo."""
     go, ge, gto, gte = gp
     w2pe = w2p + LANE_PAD
-    jj = np.arange(w2p + 1)
     jjd = jnp.arange(w2p + 1)
 
-    s1 = _scores_from_counters(c1, card1, w1, sm, gp)
-    s2 = _scores_from_counters(c2, card2, w2, sm, gp)
+    c1 = c1.astype(it)
+    c2 = c2.astype(it)
+    w1 = w1.astype(it)
+    w2 = w2.astype(it)
+    card1 = card1.astype(it)
+    card2 = card2.astype(it)
+    smt = sm.astype(it)
+
+    s1 = _scores_from_counters(c1, card1, w1, smt, gp, it)
+    s2 = _scores_from_counters(c2, card2, w2, smt, gp, it)
     # padded rows (beyond the true width) must be zero like the host pad()
     rows1 = jnp.arange(w1p + 1)
     rows2 = jnp.arange(w2p + 1)
-    s1 = jnp.where(rows1[:, None] <= w1, s1, jnp.int64(0))
-    s2 = jnp.where(rows2[:, None] <= w2, s2, jnp.int64(0))
-    c1m = jnp.where(rows1[:, None] <= w1, c1, jnp.int64(0))
-    c2m = jnp.where(rows2[:, None] <= w2, c2, jnp.int64(0))
+    s1 = jnp.where(rows1[:, None] <= w1, s1, it(0))
+    s2 = jnp.where(rows2[:, None] <= w2, s2, it(0))
+    c1m = jnp.where(rows1[:, None] <= w1, c1, it(0))
+    c2m = jnp.where(rows2[:, None] <= w2, c2, it(0))
 
-    g1 = _gap_corrections_device(c1m, w1, card1)
-    g2 = _gap_corrections_device(c2m, w2, card2)
+    g1 = _gap_corrections_device(c1m, w1, card1, it)
+    g2 = _gap_corrections_device(c2m, w2, card2, it)
 
     p2o, p2e = s2[:, GAP_OPEN], s2[:, GAP_EXT]
     p2to, p2te = s2[:, GAP_TERM_OPEN], s2[:, GAP_TERM_EXT]
-    gaps2_change = (c2m[:, GAP_OPEN] * (ge - go)
-                    + c2m[:, GAP_TERM_OPEN] * (gte - gto))
+    gaps2_change = (c2m[:, GAP_OPEN] * it(ge - go)
+                    + c2m[:, GAP_TERM_OPEN] * it(gte - gto))
 
-    h0 = jnp.where(jjd == 1, p2to[1] * card1, p2te * card1)
-    h0 = jnp.concatenate([jnp.zeros(1, jnp.int64), _cumsum_log(h0[1:])])
-    h0 = jnp.where((jjd == 0) | (jjd == w2), jnp.int64(NEG), h0)
+    # h0 boundary: cumsum of per-column term-gap costs x card1 - values
+    # can exceed i32, so build it as an (hi, lo) pair in both modes
+    inc = jnp.where(jjd == 1, p2to[1], p2te)
+    if it is jnp.int32:
+        incp = _k_pmul_u32(jnp.broadcast_to(card1, inc.shape), _sx32(inc))
+    else:
+        incp = _split(inc * card1)
+    z1 = jnp.zeros(1, jnp.int32)
+    h0h, h0l = _cumsum_pairs((incp[0][1:], incp[1][1:]))
+    h0h = jnp.concatenate([z1, h0h])
+    h0l = jnp.concatenate([z1, h0l])
+    bnd = (jjd == 0) | (jjd == w2)
+    h0h = jnp.where(bnd, NEG_HI, h0h)
+    h0l = jnp.where(bnd, NEG_LO, h0l)
 
     def padc(a, fill=0):
         pad_shape = (w2pe - a.shape[0],) + a.shape[1:]
         return jnp.concatenate(
-            [a, jnp.full(pad_shape, jnp.int64(fill))], axis=0)
+            [a, jnp.full(pad_shape, fill, a.dtype)], axis=0)
 
     def shift1(a):
-        out = jnp.zeros(w2pe, jnp.int64)
+        out = jnp.zeros(w2pe, a.dtype)
         return out.at[1:1 + a.shape[0]].set(a)
 
     colp = dict(
         s2=padc(s2[:, :NO_AMINOACIDS_AND_GAPS]),
         p2gaps=padc(jnp.stack([p2o, p2e, p2to, p2te], axis=1)),
         gaps2_change=padc(gaps2_change),
-        h0=padc(h0, fill=NEG),
-        last_col_mask=padc((jjd == w2).astype(jnp.int64)),
+        h0hi=padc(h0h, fill=NEG_HI),
+        h0lo=padc(h0l, fill=NEG_LO),
+        last_col_mask=padc((jjd == w2).astype(jnp.int32)),
         g2so=shift1(g2[0][1:]), g2se=shift1(g2[1][1:]),
         g2sto=shift1(g2[2][1:]), g2ste=shift1(g2[3][1:]),
         g2ce=shift1(g2[4][1:]), g2cte=shift1(g2[5][1:]),
@@ -712,14 +766,14 @@ def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p):
     s1gte = s1[1:, GAP_TERM_EXT]
     xs = dict(
         c1=c1m[1:, :NO_AMINOACIDS_AND_GAPS],
-        col1nng=c1m[1:, :NO_AMINOACIDS].sum(axis=1),
+        col1nng=c1m[1:, :NO_AMINOACIDS].sum(axis=1, dtype=it),
         n1c=c1m[1:, GAP_OPEN], n1tc=c1m[1:, GAP_TERM_OPEN],
         s1go=s1[1:, GAP_OPEN], s1ge=s1[1:, GAP_EXT],
         s1gto=s1gto, s1gte=s1gte,
         g1so=g1[0][1:], g1se=g1[1][1:], g1sto=g1[2][1:],
         g1ste=g1[3][1:], g1ce=g1[4][1:], g1cte=g1[5][1:],
         v0_cost=jnp.where(ii == 1, s1gto * card2, s1gte * card2),
-        w1m1=w1 - 1,
+        w1m1=(w1 - 1).astype(jnp.int32),
     )
     return colp, xs
 
@@ -729,7 +783,9 @@ def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p):
 # (the axon tunnel moves ~15 MB/s; a 2 MB direction-matrix pull costs more
 # than the whole DP kernel)
 # ---------------------------------------------------------------------------
-_TB_T = 16      # traceback window; T-1 walk steps per window load
+import os as _os
+
+_TB_T = int(_os.environ.get("FAMSA_TPU_TB_T", "32"))  # traceback window
 
 
 def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
@@ -752,18 +808,16 @@ def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
         i, j, d, done = carry
         r0 = jnp.maximum(i - T, 0)
         c0 = jnp.maximum(j - T + 1, 0)
-        win = jax.lax.dynamic_slice(dirs_m, (r0, c0), (T, T))
+        win = jax.lax.dynamic_slice(dirs_m, (r0, c0), (T, T)).reshape(T * T)
         li = i - 1 - r0
         lj = j - c0
-        rr = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
 
         emits = []
         for _s in range(T - 1):
             at_i0 = (i == 0) & (j > 0)
             at_j0 = (j == 0) & (i > 0)
-            cell = jnp.sum(jnp.where((rr == li) & (cc == lj), win,
-                                     jnp.int32(0)), dtype=jnp.int32)
+            flat = jnp.maximum(li * T + lj, 0)
+            cell = jax.lax.dynamic_slice(win, (flat,), (1,))[0]
             nd = jax.lax.shift_right_logical(
                 cell, (2 * d).astype(jnp.int32)) & jnp.int32(3)
             nd = jnp.where(at_i0, jnp.int32(_H), nd)
@@ -837,41 +891,65 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
     packed_e = jnp.sum(ew << shifts, axis=2, dtype=jnp.int32)
     tot_hi = (total >> np.int64(32)).astype(jnp.int32)
     tot_lo = total.astype(jnp.int32)
-    return jnp.concatenate(
+    packed = jnp.concatenate(
         [packed_e, dir0[:, None], tot_hi[:, None], tot_lo[:, None]], axis=1)
+    return packed, emits, dir0
 
 
-_dp_pallas_tb = jax.jit(
-    _tb_impl, static_argnames=("sb", "blk", "w1p", "w2p", "interpret",
-                               "single"))
+def _forward_paths(emits, dir0):
+    """Reversed walk emits [B, S] (sentinel 3 beyond the path) + initial
+    channel dir0 [B] -> forward path codes [B, S] (construct's move list:
+    emits reversed, boundary cut dropped, dir0 appended; sentinel 3
+    beyond)."""
+    S = emits.shape[1]
+    k = jnp.arange(S, dtype=jnp.int32)
+
+    def one(e, d0):
+        m = jnp.sum((e != 3).astype(jnp.int32))
+        rev = e[jnp.clip(m - 2 - k, 0, S - 1)]
+        return jnp.where(k == m - 1, d0,
+                         jnp.where(k < m - 1, rev, jnp.int32(3)))
+
+    return jax.vmap(one)(emits, dir0)
 
 
 def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                      sb, blk, w1p, w2p, interpret, single):
+                      sb, blk, w1p, w2p, interpret, single, merged=False):
     b = c1s.shape[0]
     g = b // sb
 
+    it = jnp.int32 if single else jnp.int64
+
     def one(c1, c2, w1, w2, k1, k2):
-        return _stage0_one(c1.astype(jnp.int64), c2.astype(jnp.int64),
-                           w1.astype(jnp.int64), w2.astype(jnp.int64),
-                           k1.astype(jnp.int64), k2.astype(jnp.int64),
-                           sm, gp, w1p, w2p)
+        return _stage0_one(c1, c2, w1, w2, k1, k2, sm, gp, w1p, w2p, it)
 
     colp, xs = jax.vmap(one)(c1s, c2s, w1v, w2v, card1v, card2v)
     colp = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in colp.items()}
     xs = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in xs.items()}
-    return _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret, single)
+    packed, emits, dir0 = _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p,
+                                   interpret, single)
+    if not merged:
+        return packed
+    # device-resident result: merged counters from parents + forward path
+    fwd = _forward_paths(emits, dir0)
+    mc = jax.vmap(merged_counters_device, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+        c1s, c2s, fwd, w1v, w2v, card1v, card2v)
+    return packed, mc
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
-                                             "interpret", "single"))
+                                             "interpret", "single", "merged"))
 def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                           sb, blk, w1p, w2p, interpret=False, single=False):
+                           sb, blk, w1p, w2p, interpret=False, single=False,
+                           merged=False):
     """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
-    dtype), w1v/w2v/card1v/card2v [B] i32, sm [24,24] i64, gp static gap
-    costs.  Stage 0 (scores, gap corrections, boundaries) runs on device."""
+    dtype, host OR device-resident), w1v/w2v/card1v/card2v [B] i32,
+    sm [24,24] i64, gp static gap costs.  Stage 0 (scores, gap corrections,
+    boundaries) runs on device.  merged=True additionally returns the
+    merged profile counters [B, S+1, 32] i32 (device-resident: the next
+    merge reads them without any host upload)."""
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                             sb, blk, w1p, w2p, interpret, single)
+                             sb, blk, w1p, w2p, interpret, single, merged)
 
 
 def _csc_dense(counts, syms, vals, wp):
@@ -893,10 +971,10 @@ def _csc_dense(counts, syms, vals, wp):
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
-                                             "interpret", "single"))
+                                             "interpret", "single", "merged"))
 def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
                       card1v, card2v, sm, gp, sb, blk, w1p, w2p,
-                      interpret=False, single=False):
+                      interpret=False, single=False, merged=False):
     """Compact-upload variant: a profile column holds a handful of distinct
     symbols, so the host ships per-column nonzero counts (i8) + symbol ids
     (i8) + count values (i8/i16) instead of the dense [w, 32] tensor - the
@@ -905,7 +983,7 @@ def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
     c1s = _csc_dense(cnt1, sym1, val1, w1p)
     c2s = _csc_dense(cnt2, sym2, val2, w2p)
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                             sb, blk, w1p, w2p, interpret, single)
+                             sb, blk, w1p, w2p, interpret, single, merged)
 
 
 def _csc_pack(pairs, n, b, side, wp):
@@ -934,12 +1012,16 @@ def _csc_pack(pairs, n, b, side, wp):
 
 class JaxPathResult:
     """DP result carrying the traceback path directly (device traceback);
-    construct's _trace_path short-circuits on .path."""
-    __slots__ = ("path", "total")
+    construct's _trace_path short-circuits on .path.  merged_dev, when
+    present, is the merged profile's counter tensor [width+1, 32] i32
+    LIVING ON DEVICE (feeds the children's next merge without an
+    upload)."""
+    __slots__ = ("path", "total", "merged_dev")
 
-    def __init__(self, path, total):
+    def __init__(self, path, total, merged_dev=None):
         self.path = path
         self.total = total
+        self.merged_dev = merged_dev
 
 
 def _merge_i32_bound(params, p1, p2):
@@ -988,7 +1070,16 @@ def _merge_i32_bound(params, p1, p2):
     raw_b = max(int(m2s.max(initial=0)),
                 mx(s1go), mx(s1ge), mx(s1gto), mx(s1gte),
                 mx(p2o), mx(p2e), mx(p2to), mx(p2te), mx(g2chg))
-    return max(t_b, tmH_b, tmV_b, gvs_b, gvc_b, ghs_b, ghc_b, raw_b)
+    # stage-0 recomputes the score columns in i32 in single mode: its
+    # partial sums are bounded by card * (max |SM entry| + sum |gap cost|)
+    # even when the final scores cancel to small values
+    stage0_b = max(card1, card2) * (
+        int(np.abs(params.score_matrix).max())
+        + sum(abs(int(x)) for x in (params.gap_open, params.gap_ext,
+                                    params.gap_term_open,
+                                    params.gap_term_ext)))
+    return max(t_b, tmH_b, tmV_b, gvs_b, gvc_b, ghs_b, ghc_b, raw_b,
+               stage0_b)
 
 
 def _single_word_ok(params, pairs):
@@ -1000,14 +1091,16 @@ def _single_word_ok(params, pairs):
 
 class PendingPaths:
     """In-flight batched DP dispatch: a single packed device array
-    [B, S/16+3] (emits..., dir0, total_hi, total_lo) not yet pulled.
+    [B, S/16+3] (emits..., dir0, total_hi, total_lo) not yet pulled, plus
+    (optionally) the merged counter tensor that STAYS on device.
     resolve() blocks, pulls the O(W) paths in ONE transfer and returns
     [JaxPathResult].  Dispatching several batches before resolving
     pipelines host packing + uploads against device compute."""
 
-    def __init__(self, packed, n):
+    def __init__(self, packed, n, merged=None):
         self._packed = packed
         self._n = n
+        self._merged = merged
 
     def resolve(self):
         arr = np.asarray(self._packed)
@@ -1023,16 +1116,49 @@ class PendingPaths:
             stop = np.argmax(e == 3) if (e == 3).any() else len(e)
             full = [int(dir0[k])] + [int(x) for x in e[:stop]]
             full.reverse()
-            out.append(JaxPathResult(full[1:], int(total[k])))
+            md = None
+            if self._merged is not None:
+                # device-side slice to the true width (lazy, no pull)
+                md = self._merged[k, :stop + 1]
+            out.append(JaxPathResult(full[1:], int(total[k]), md))
         return out
 
 
+def _assemble_side(pairs, dev_pairs, n, b, side, wp):
+    """[B, wp+1, 32] i32 device tensor for one merge side: device-resident
+    parent counters are sliced/padded ON DEVICE (no transfer); host-only
+    profiles (leaves) upload their narrow dense counters and are widened
+    on device."""
+    rows = []
+    for k in range(b):
+        d = dev_pairs[min(k, n - 1)][side]
+        if d is None:
+            p = pairs[min(k, n - 1)][side]
+            c = np.zeros((wp + 1, 32), dtype=np.int8
+                         if len(p.data) < 128 else np.int32)
+            c[:p.width + 1] = p.counters
+            rows.append(jnp.asarray(c).astype(jnp.int32))
+        elif d.shape[0] >= wp + 1:
+            rows.append(d[:wp + 1])
+        else:
+            rows.append(jnp.zeros((wp + 1, 32), jnp.int32).at[:d.shape[0]]
+                        .set(d))
+    return jnp.stack(rows)
+
+
 def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
-                                  single=None, force_dense=False):
+                                  single=None, force_dense=False,
+                                  dev_pairs=None, want_merged=False):
     """Batched DP + device traceback, dispatched without blocking: returns
     a PendingPaths.  The host uploads only the nonzero counter entries
     (per-column compact encoding, see _csc_pack) or narrow dense counters
-    and pulls only the O(W) paths, 2-bit packed."""
+    and pulls only the O(W) paths, 2-bit packed.
+
+    dev_pairs: optional [(dev1|None, dev2|None)] aligned with pairs -
+    device-resident counter tensors for sides whose profiles were merged
+    on device (see merged_counters_device); those sides upload NOTHING.
+    want_merged=True computes each merge's counters on device and hands
+    them back in the results' .merged_dev (still on device)."""
     n = len(pairs)
     if sb is None:
         sb = 8 if n >= 5 else 1
@@ -1059,6 +1185,19 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     common = (jnp.asarray(w1v), jnp.asarray(w2v),
               jnp.asarray(k1v), jnp.asarray(k2v), sm)
 
+    have_dev = dev_pairs is not None and any(
+        d1 is not None or d2 is not None for d1, d2 in dev_pairs)
+    if have_dev:
+        c1s = _assemble_side(pairs, dev_pairs, n, b, 0, w1p)
+        c2s = _assemble_side(pairs, dev_pairs, n, b, 1, w2p)
+        packed = _dp_pallas_tb_counters(
+            c1s, c2s, *common, gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
+            interpret=interpret, single=single, merged=want_merged)
+        if want_merged:
+            packed, mc = packed
+            return PendingPaths(packed, n, mc)
+        return PendingPaths(packed, n)
+
     cnt1, sym1, val1 = _csc_pack(pairs, n, b, 0, w1p)
     cnt2, sym2, val2 = _csc_pack(pairs, n, b, 1, w2p)
     csc_bytes = (cnt1.nbytes + sym1.nbytes + val1.nbytes
@@ -1068,12 +1207,12 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     dense_bytes = b * (w1p + w2p + 2) * 32 * dense_itemsize
 
     if csc_bytes < 0.8 * dense_bytes and not force_dense:
-        packed = _dp_pallas_tb_csc(
+        out = _dp_pallas_tb_csc(
             jnp.asarray(cnt1), jnp.asarray(sym1), jnp.asarray(val1),
             jnp.asarray(cnt2), jnp.asarray(sym2), jnp.asarray(val2),
             *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
-            interpret=interpret, single=single)
+            interpret=interpret, single=single, merged=want_merged)
     else:
         # pack straight into the upload dtype (counts <= card)
         maxc = int(max(k1v.max(), k2v.max()))
@@ -1086,11 +1225,14 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             p1, p2 = pairs[min(k, n - 1)]
             c1s[k, :p1.width + 1] = p1.counters
             c2s[k, :p2.width + 1] = p2.counters
-        packed = _dp_pallas_tb_counters(
+        out = _dp_pallas_tb_counters(
             jnp.asarray(c1s), jnp.asarray(c2s), *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
-            interpret=interpret, single=single)
-    return PendingPaths(packed, n)
+            interpret=interpret, single=single, merged=want_merged)
+    if want_merged:
+        packed, mc = out
+        return PendingPaths(packed, n, mc)
+    return PendingPaths(out, n)
 
 
 def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False,
@@ -1146,3 +1288,129 @@ def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False,
         res.last = (join(f[0], f[1]), join(f[2], f[3]), join(f[4], f[5]))
         out.append(res)
     return out
+
+
+# ---------------------------------------------------------------------------
+# device-resident profiles: merged counters computed ON DEVICE from the
+# parent counters and the traceback path, so progressive merges never
+# re-upload counter tensors (the host->device tunnel is the production
+# bottleneck: a dense counter batch is ~8 MB vs ~40 MB/s).
+# Mirrors core/construct.py:construct_profile's counter merging exactly
+# (reference ConstructProfile, profile.cpp:694-1002): gap-category columns
+# via the start/continue rules and the open->ext transfer corrections.
+# ---------------------------------------------------------------------------
+def merged_counters_device(c1, c2, emits, w1, w2, card1, card2):
+    """c1 [w1p+1, 32], c2 [w2p+1, 32] (any int dtype), emits [S] i32 path
+    codes (0=D 1=H 2=V, 3=done sentinel), w1/w2/card1/card2 i32 scalars.
+    Returns merged counters [S+1, 32] i32 (row 0 zero, rows 1..width the
+    merged columns, rows beyond the path zero).
+
+    Key identities that make this vectorizable:
+      - profile scores are a fixed linear function of counters, so only
+        counters need to live on device (stage 0 re-derives scores);
+      - the open->ext transfer (profile.cpp:840-975) reads only
+        transfer-invariant sums of the ORIGINAL parent counters, and each
+        parent column receives at most one transfer;
+      - within a gap run the start/continue category counts reach a fixed
+        point after two columns (closed form below)."""
+    S = emits.shape[0]
+    it = jnp.int32
+    c1 = c1.astype(it)
+    c2 = c2.astype(it)
+    e = emits.astype(it)
+    valid = e != 3
+    k = jnp.arange(S, dtype=it)
+
+    adv1 = valid & (e != _H)
+    adv2 = valid & (e != _V)
+    i_k = jnp.cumsum(adv1.astype(it))      # i AFTER step k
+    j_k = jnp.cumsum(adv2.astype(it))
+
+    prev_e = jnp.concatenate([jnp.array([_D], it), e[:-1]])
+    sH = valid & (e == _H) & (prev_e != _H)
+    sV = valid & (e == _V) & (prev_e != _V)
+
+    def gather(c, idx):
+        return c[jnp.clip(idx, 0, c.shape[0] - 1)]
+
+    # ---- transfers: one per gap-run start, applied to parent column i+1
+    def transfers(c, w, start_mask, pos):
+        tcol = jnp.clip(pos + 1, 0, c.shape[0] - 1)
+        on = start_mask & (pos < w)
+        t = jnp.where(on & (pos > 0), gather(c, pos + 1)[:, GAP_OPEN], it(0))
+        tt = jnp.where(on, gather(c, pos + 1)[:, GAP_TERM_OPEN], it(0))
+        ct = c
+        ct = ct.at[tcol, GAP_EXT].add(jnp.where(on, t, 0))
+        ct = ct.at[tcol, GAP_OPEN].add(jnp.where(on, -t, 0))
+        ct = ct.at[tcol, GAP_TERM_EXT].add(jnp.where(on, tt, 0))
+        ct = ct.at[tcol, GAP_TERM_OPEN].add(jnp.where(on, -tt, 0))
+        return ct
+
+    c1t = transfers(c1, w1, sH, i_k)
+    c2t = transfers(c2, w2, sV, j_k)
+
+    # ---- gap-run category counts (SolveGapsProblemWhenStarting /
+    # Continuing, profile.cpp:1116-1220) from ORIGINAL parent counters
+    def run_vals(c, w, size, start_mask, run_mask, pos):
+        # start values at run-start steps
+        nxt = gather(c, pos + 1)
+        cur = gather(c, pos)
+        to1 = nxt[:, GAP_TERM_OPEN]
+        te1 = cur[:, GAP_TERM_OPEN] + cur[:, GAP_TERM_EXT]
+        e1 = cur[:, GAP_OPEN] + cur[:, GAP_EXT]
+        o1 = size - e1 - to1 - te1
+        at0 = pos == 0
+        atw = pos >= w
+        cnt_end = cur[:, GAP_TERM_OPEN] + cur[:, GAP_TERM_EXT]
+        o1 = jnp.where(at0 | atw, it(0), o1)
+        e1 = jnp.where(at0 | atw, it(0), e1)
+        to1 = jnp.where(at0, size, jnp.where(atw, size - cnt_end, to1))
+        te1 = jnp.where(at0, it(0), jnp.where(atw, cnt_end, te1))
+
+        # broadcast start values over the run (last-start gather)
+        seg = jax.lax.cummax(jnp.where(start_mask, k, it(-1)))
+        seg_c = jnp.clip(seg, 0, S - 1)
+
+        def pick(v):
+            return jnp.where(start_mask, v, it(0))[seg_c]
+
+        o1r, e1r = pick(o1), pick(e1)
+        to1r, te1r = pick(to1), pick(te1)
+        p = k - seg_c + 1
+        bnd = (pos == 0) | (pos >= w)         # pos constant within the run
+
+        e2 = o1r + e1r
+        te2 = to1r + te1r
+        o2 = size - e2 - te2
+        o = jnp.where(p == 1, o1r, jnp.where(p == 2, o2, it(0)))
+        ee = jnp.where(p == 1, e1r, jnp.where(p == 2, e2, size - te2))
+        to = jnp.where(p == 1, to1r, it(0))
+        te = jnp.where(p == 1, te1r, te2)
+        # boundary runs: every continuing column is pure terminal ext
+        o = jnp.where(bnd & (p > 1), it(0), o)
+        ee = jnp.where(bnd & (p > 1), it(0), ee)
+        to = jnp.where(bnd & (p > 1), it(0), to)
+        te = jnp.where(bnd & (p > 1), size, te)
+        z = it(0)
+        return (jnp.where(run_mask, o, z), jnp.where(run_mask, ee, z),
+                jnp.where(run_mask, to, z), jnp.where(run_mask, te, z))
+
+    isH = valid & (e == _H)
+    isV = valid & (e == _V)
+    isD = valid & (e == _D)
+    gv1 = run_vals(c1, w1, card1, sH, isH, i_k)
+    gv2 = run_vals(c2, w2, card2, sV, isV, j_k)
+
+    # ---- assemble merged columns: step k -> column k+1
+    r1 = jnp.where(adv1[:, None], gather(c1t, i_k), it(0))
+    r2 = jnp.where(adv2[:, None], gather(c2t, j_k), it(0))
+    rows = r1 + r2
+    gapcat = jnp.zeros((S, 32), it)
+    gapcat = gapcat.at[:, GAP_OPEN].add(gv1[0] + gv2[0])
+    gapcat = gapcat.at[:, GAP_EXT].add(gv1[1] + gv2[1])
+    gapcat = gapcat.at[:, GAP_TERM_OPEN].add(gv1[2] + gv2[2])
+    gapcat = gapcat.at[:, GAP_TERM_EXT].add(gv1[3] + gv2[3])
+    gapcat = gapcat.at[:, GAP].add(
+        jnp.where(isH, card1, it(0)) + jnp.where(isV, card2, it(0)))
+    rows = rows + gapcat
+    return jnp.concatenate([jnp.zeros((1, 32), it), rows], axis=0)

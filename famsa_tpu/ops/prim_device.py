@@ -116,11 +116,15 @@ def mst_prim_tree_device(sequences, tree, measure=None, use_pallas=None):
     import jax as _jax
     from ..tree.mst_prim import _mst_to_dendrogram
 
+    import os
+
     n = len(sequences)
     if n == 1:
         return
     if use_pallas is None:
-        use_pallas = _jax.default_backend() == "tpu"
+        # FAMSA_TPU_PRIM_PALLAS=0 falls back to the XLA-scan LCS rounds
+        use_pallas = (_jax.default_backend() == "tpu"
+                      and os.environ.get("FAMSA_TPU_PRIM_PALLAS", "1") == "1")
     lmax = max(s.data_size for s in sequences)
     lmax = ((lmax + BV32 - 1) // BV32) * BV32
     padded = np.full((n, lmax), 22, dtype=np.int8)

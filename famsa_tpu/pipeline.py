@@ -210,14 +210,30 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     from .core.aligner import construct_profile as _construct
     from .ops.dp_jax import _bucket, dp_profile_jax_batched
 
-    if _jax.default_backend() == "tpu" and \
-            os.environ.get("FAMSA_TPU_DP_PALLAS", "1") == "1":
+    pallas_mode = os.environ.get("FAMSA_TPU_DP_PALLAS", "1")
+    if (_jax.default_backend() == "tpu" and pallas_mode == "1") \
+            or pallas_mode == "interpret":
         # Mosaic DP + on-device traceback: only O(W) path bytes are pulled;
-        # async dispatch pipelines the level's batches through the tunnel
+        # async dispatch pipelines the level's batches through the tunnel.
+        # FAMSA_TPU_DP_PALLAS=interpret forces this dispatch path through
+        # the pallas interpreter on CPU (CI coverage of the production
+        # scheduler + upload encodings without a TPU).
         from .ops.dp_pallas import dp_profile_pallas_paths_async
+        _interp = pallas_mode == "interpret"
 
         def _dispatch(params, prs):
-            return dp_profile_pallas_paths_async(params, prs)
+            # device-resident counters: sides merged on device upload
+            # nothing; each result's merged counters stay on device for
+            # the parent's merge (Profile.dev_counters)
+            dev = []
+            for p1, p2 in prs:
+                dev.append((p1.dev_counters, p2.dev_counters))
+                p1.dev_counters = None
+                p2.dev_counters = None
+            return dp_profile_pallas_paths_async(params, prs,
+                                                 interpret=_interp,
+                                                 dev_pairs=dev,
+                                                 want_merged=True)
     else:
         class _SyncPending:
             def __init__(self, results):
@@ -344,6 +360,8 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
             for (node_id, p1, p2), res in zip(chunk, pnd.resolve()):
                 dest = Profile(params)
                 _construct(dest, p1, p2, res)
+                if getattr(res, "merged_dev", None) is not None:
+                    dest.dev_counters = res.merged_dev
                 done[node_id] = dest
                 release(node_id)
 

@@ -102,12 +102,11 @@ def main():
     # ---- stage 0 ----
     @functools.partial(jax.jit, static_argnames=("gp",))
     def f_stage0(c1s, c2s, w1v, w2v, k1v, k2v, sm, gp):
+        it = jnp.int32 if single else jnp.int64
+
         def one(c1, c2, w1, w2, q1, q2):
-            return dpp._stage0_one(
-                c1.astype(jnp.int64), c2.astype(jnp.int64),
-                w1.astype(jnp.int64), w2.astype(jnp.int64),
-                q1.astype(jnp.int64), q2.astype(jnp.int64),
-                sm, gp, w1p, w2p)
+            return dpp._stage0_one(c1, c2, w1, w2, q1, q2,
+                                   sm, gp, w1p, w2p, it)
         colp, xs = jax.vmap(one)(c1s, c2s, w1v, w2v, k1v, k2v)
         colp = {k: v.reshape((g, SB) + v.shape[1:]) for k, v in colp.items()}
         xs = {k: v.reshape((g, SB) + v.shape[1:]) for k, v in xs.items()}

@@ -159,3 +159,91 @@ def test_dp_pallas_production_buckets():
         assert got[0].path == path
     finally:
         dpp._pallas_bucket = orig
+
+
+def test_merged_counters_device_matches_construct():
+    """Device-side merged-profile counters (merged_counters_device) vs the
+    host construct_profile on random merges - exact equality, including
+    the open->ext transfer corrections and gap-run category counts."""
+    import jax.numpy as jnp
+
+    from famsa_tpu.core.aligner import construct_profile
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import dp_prof_prof
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.ops.dp_pallas import merged_counters_device
+
+    rng = np.random.default_rng(41)
+    params = Params()
+    params.adjust(50)
+    for trial in range(8):
+        n1, n2 = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        p1 = _make_profile(rng, params, n1, int(rng.integers(20, 70)))
+        p2 = _make_profile(rng, params, n2, int(rng.integers(20, 70)))
+        c1, c2 = p1.counters.copy(), p2.counters.copy()
+        W1, W2 = p1.width, p2.width
+        res = dp_prof_prof(params, p1, p2)
+        path, _ = _trace_path(res, W1, W2)
+        dest = Profile(params)
+        construct_profile(dest, p1, p2, res)
+        emits = np.full(len(path) + 7, 3, dtype=np.int32)
+        emits[:len(path)] = path
+        got = np.asarray(merged_counters_device(
+            jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(emits),
+            jnp.int32(W1), jnp.int32(W2), jnp.int32(n1), jnp.int32(n2)))
+        exp = dest.counters
+        assert np.array_equal(got[:exp.shape[0]], exp.astype(np.int32))
+        assert not got[exp.shape[0]:].any()
+
+
+def test_dp_pallas_device_resident_flow():
+    """Two-level merge flow with device-resident counters: level-1 merges
+    request merged counters (want_merged), level 2 consumes them via
+    dev_pairs without re-uploading - results must match the all-host
+    flow."""
+    from famsa_tpu.core.aligner import construct_profile
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_paths_async
+
+    rng = np.random.default_rng(47)
+    params = Params()
+    params.adjust(50)
+
+    def level1():
+        pairs = [(_make_profile(rng.__class__(np.random.PCG64(7 + k)),
+                                params, 2, 30),
+                  _make_profile(rng.__class__(np.random.PCG64(70 + k)),
+                                params, 3, 40)) for k in range(2)]
+        return pairs
+
+    # host flow
+    ph = []
+    for p1, p2 in level1():
+        res = dp_profile_pallas_paths_async(
+            params, [(p1, p2)], interpret=True).resolve()[0]
+        d = Profile(params)
+        construct_profile(d, p1, p2, res)
+        ph.append(d)
+    res_h = dp_profile_pallas_paths_async(
+        params, [(ph[0], ph[1])], interpret=True).resolve()[0]
+
+    # device-resident flow
+    pd = []
+    devs = []
+    for p1, p2 in level1():
+        res = dp_profile_pallas_paths_async(
+            params, [(p1, p2)], interpret=True,
+            want_merged=True).resolve()[0]
+        d = Profile(params)
+        construct_profile(d, p1, p2, res)
+        pd.append(d)
+        devs.append(res.merged_dev)
+        # device copy must equal the host-constructed counters
+        assert np.array_equal(np.asarray(res.merged_dev),
+                              d.counters.astype(np.int32))
+    res_d = dp_profile_pallas_paths_async(
+        params, [(pd[0], pd[1])], interpret=True,
+        dev_pairs=[(devs[0], devs[1])]).resolve()[0]
+
+    assert res_h.total == res_d.total
+    assert res_h.path == res_d.path
