@@ -1124,16 +1124,39 @@ class PendingPaths:
         return out
 
 
+@functools.partial(jax.jit, static_argnames=("wp",))
+def _leaf_counters_dev(sym, wp):
+    """Ungapped single-sequence profile counters from its symbols: the
+    leaf upload is [w] i8 instead of [w+1, 32] (32x less through the
+    tunnel); counters[1+k, sym[k]] = 1.  sym is padded to a bucketed
+    length with the GUARD code 31 - the bogus one-hots land beyond the
+    true width, where no consumer reads (stage 0 masks rows > w, the
+    merged-counter gathers stop at w)."""
+    w = sym.shape[0]
+    oh = (sym[:, None].astype(jnp.int32)
+          == jnp.arange(32, dtype=jnp.int32)[None]).astype(jnp.int32)
+    out = jnp.zeros((wp + 1, 32), jnp.int32)
+    return out.at[1:w + 1].set(oh)
+
+
 def _assemble_side(pairs, dev_pairs, n, b, side, wp):
     """[B, wp+1, 32] i32 device tensor for one merge side: device-resident
-    parent counters are sliced/padded ON DEVICE (no transfer); host-only
-    profiles (leaves) upload their narrow dense counters and are widened
-    on device."""
+    parent counters are sliced/padded ON DEVICE (no transfer); ungapped
+    leaves upload only their symbol bytes; other host-only profiles
+    upload narrow dense counters and are widened on device."""
     rows = []
     for k in range(b):
         d = dev_pairs[min(k, n - 1)][side]
         if d is None:
             p = pairs[min(k, n - 1)][side]
+            gs = p.data[0] if len(p.data) == 1 else None
+            if gs is not None and int(gs.n_gaps.sum()) == 0 \
+                    and gs.size <= wp:
+                wb = min(_bucket(gs.size), wp)
+                symp = np.full(wb, 31, dtype=np.int8)
+                symp[:gs.size] = gs.symbols
+                rows.append(_leaf_counters_dev(jnp.asarray(symp), wp=wp))
+                continue
             c = np.zeros((wp + 1, 32), dtype=np.int8
                          if len(p.data) < 128 else np.int32)
             c[:p.width + 1] = p.counters

@@ -32,15 +32,14 @@ BV32 = 32
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("unroll", "pallas_meta"))
-def prim_device(table, queries, lengths, unroll=1, pallas_meta=None):
-    """Run all n-1 Prim rounds on device.
-
-    table: [32, N, W] uint32 query masks (XLA path) or the packed
-    [NB, 32*W, 8, QL] int32 layout when pallas_meta=(w, ql) is given
-    (ops/lcs_pallas.py); queries: [N, L] int32; lengths: [N] int64.
-    Returns (edge_p1, edge_p2, edge_dist_neg, prim_orders) - see
-    tree/mst_prim.py for the host dendrogram step."""
+@functools.partial(jax.jit,
+                   static_argnames=("k_rounds", "unroll", "pallas_meta"))
+def _prim_device_chunk(table, queries, lengths, cur, dist, tieb, active,
+                       k_rounds, unroll=1, pallas_meta=None):
+    """k_rounds Prim rounds with carried state.  The whole tree is run as
+    a HOST loop over bounded chunks (state stays device-resident between
+    dispatches): a single n-round program trips the TPU worker's
+    long-running-program watchdog at n ~ 1e5."""
     n, lmax = queries.shape
 
     if pallas_meta is not None:
@@ -99,13 +98,42 @@ def prim_device(table, queries, lengths, unroll=1, pallas_meta=None):
         active = active.at[best].set(False)
         return (best, dist, tieb, active), (e1, e2, -dist[best], best)
 
-    dist0 = jnp.full(n, jnp.finfo(jnp.float64).max)
-    tieb0 = jnp.zeros(n, dtype=jnp.uint64)
-    active0 = jnp.ones(n, dtype=bool).at[0].set(False)
+    (cur, dist, tieb, active), (e1, e2, dneg, bests) = jax.lax.scan(
+        round_step, (cur, dist, tieb, active), None, length=k_rounds)
+    return cur, dist, tieb, active, e1, e2, dneg, bests
 
-    _, (e1, e2, dneg, bests) = jax.lax.scan(
-        round_step, (jnp.int64(0), dist0, tieb0, active0), None, length=n - 1)
-    return e1, e2, dneg, bests
+
+def prim_device(table, queries, lengths, unroll=1, pallas_meta=None,
+                chunk=None):
+    """Run all n-1 Prim rounds on device, chunked (see _prim_device_chunk).
+
+    table: [32, N, W] uint32 query masks (XLA path) or the packed
+    [NB, 32*W, 8, QL] int32 layout when pallas_meta=(w, ql) is given
+    (ops/lcs_pallas.py); queries: [N, L] int32; lengths: [N] int64.
+    Returns (edge_p1, edge_p2, edge_dist_neg, prim_orders) - see
+    tree/mst_prim.py for the host dendrogram step."""
+    import os
+
+    n = queries.shape[0]
+    if chunk is None:
+        chunk = int(os.environ.get("FAMSA_TPU_PRIM_CHUNK", "2048"))
+    state = (jnp.int64(0),
+             jnp.full(n, jnp.finfo(jnp.float64).max),
+             jnp.zeros(n, dtype=jnp.uint64),
+             jnp.ones(n, dtype=bool).at[0].set(False))
+    outs = []
+    done = 0
+    while done < n - 1:
+        k = min(chunk, n - 1 - done)
+        *state, e1, e2, dneg, bests = _prim_device_chunk(
+            table, queries, lengths, *state, k_rounds=k, unroll=unroll,
+            pallas_meta=pallas_meta)
+        state = tuple(state)
+        outs.append((e1, e2, dneg, bests))
+        done += k
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(4))
 
 
 def mst_prim_tree_device(sequences, tree, measure=None, use_pallas=None):
