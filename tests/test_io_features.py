@@ -5,6 +5,7 @@ import pathlib
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REF = pathlib.Path("/root/reference/test")
@@ -49,3 +50,42 @@ def test_trim_columns(tmp_path):
     # every column in many-seq.aln has 3/3 symbols except none; with 0.9
     # threshold nothing is removed
     assert out.read_bytes() == (REF / "dummy" / "many-seq.aln").read_bytes()
+
+
+def test_fasta_parser_edge_cases(tmp_path):
+    """Multi-line sequences, CRLF line endings, blank lines, id-only
+    records, and '>' characters inside ids - same records as the
+    reference's line-by-line parser."""
+    from famsa_tpu.core.io_service import load_fasta_records
+
+    raw = (b">s1 desc with > char\r\n"
+           b"ACDE\r\n"
+           b"FGHI\r\n"
+           b"\r\n"
+           b">empty-record\r\n"
+           b">s2\n"
+           b"KLMN\n\n"
+           b"PQRS\n")
+    f = tmp_path / "in.fasta"
+    f.write_bytes(raw)
+    recs = load_fasta_records(str(f))
+    assert recs == [(">s1 desc with > char", "ACDEFGHI"), (">s2", "KLMNPQRS")]
+
+
+def test_fasta_parser_matches_large_wrap(tmp_path):
+    """Wrapped 60-char output re-parses to the identical sequences."""
+    from famsa_tpu.core.io_service import load_fasta_records, save_alignment
+    from famsa_tpu.core.sequence import encode_gapped
+
+    rng = np.random.default_rng(3)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    gs = []
+    for k in range(5):
+        s = "".join(aa[rng.integers(0, 20)] if rng.random() > 0.2 else "-"
+                    for _ in range(137))
+        gs.append(encode_gapped(f">w{k}", s, k))
+    f = tmp_path / "o.fasta"
+    save_alignment(str(f), gs)
+    recs = load_fasta_records(str(f))
+    assert [r[0] for r in recs] == [g.id for g in gs]
+    assert [r[1] for r in recs] == [g.decode() for g in gs]
