@@ -70,8 +70,17 @@ def _popcount32(x):
 UNROLL = 16
 
 
+def _unroll_for(w):
+    """Mosaic compile time scales with the statically-unrolled body size
+    (UNROLL x W word updates); cap the product so long sequences (large W)
+    don't blow up compilation - a 57-word kernel at UNROLL=16 compiles for
+    >30 min through the remote AOT helper."""
+    return int(max(1, min(UNROLL, 256 // max(w, 1))))
+
+
 def _make_kernel(w, length, ql):
-    n_iter = length // UNROLL
+    unroll = _unroll_for(w)
+    n_iter = length // unroll
 
     def kernel(syms_ref, table_ref, out_ref):
         def one_pos(t, xs):
@@ -93,9 +102,9 @@ def _make_kernel(w, length, ql):
             # Mosaic kernel sends the lowering into infinite recursion.
             # The position counter is carried explicitly in i32 instead.
             t0, xs = state
-            for u in range(UNROLL):
+            for u in range(unroll):
                 xs = one_pos(t0 + np.int32(u), xs)
-            return (t0 + np.int32(UNROLL), xs)
+            return (t0 + np.int32(unroll), xs)
 
         x0 = tuple(jnp.full((8, ql), -1, jnp.int32) for _ in range(w))
         _, xs = jax.lax.fori_loop(np.int32(0), np.int32(n_iter), block_step,
@@ -117,7 +126,8 @@ def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False):
     during lowering)."""
     nb = table.shape[0]
     r = syms.shape[0]
-    lpad = ((length + UNROLL - 1) // UNROLL) * UNROLL
+    unroll = _unroll_for(w)
+    lpad = ((length + unroll - 1) // unroll) * unroll
     if lpad != length:
         # pad with the no-op symbol (22: zero mask rows on every query)
         syms = jnp.concatenate(
