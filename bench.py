@@ -174,6 +174,23 @@ def main():
               f"{dt_lcs*1e3:.1f} ms -> {nrows*nq/dt_lcs:.3e} pairs/s",
               file=sys.stderr)
 
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        # secondary metric (stderr): whole-pipeline regression guard -
+        # full adeno_fiber alignment (fixed imported tree, refinement off)
+        # through the production compute_msa path: scheduler, DP,
+        # traceback-construct, dedup/restore, writer.
+        from famsa_tpu.cli import main as cli_main
+        ref_dir = "/root/reference/test/adeno_fiber"
+        t0 = time.perf_counter()
+        cli_main(["-gt", "import", f"{ref_dir}/upgma.dnd", "-refine_mode",
+                  "off", f"{ref_dir}/adeno_fiber", "/tmp/bench_e2e.fasta"])
+        dt_e2e = time.perf_counter() - t0
+        ok = open("/tmp/bench_e2e.fasta", "rb").read() == \
+            open(f"{ref_dir}/upgma.no_refine.fasta", "rb").read()
+        print(f"e2e adeno (import tree, no refine): {dt_e2e:.2f} s "
+              f"-> {REF_CELLS/dt_e2e:.3e} cells/s incl. host stages"
+              f" (golden match: {ok})", file=sys.stderr)
+
     baseline = measure_baseline()
     print(f"baseline (reference famsa, this host): {baseline:.3e} cells/s",
           file=sys.stderr)

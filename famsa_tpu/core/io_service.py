@@ -7,16 +7,25 @@ byte-identical to the reference for uncompressed output.
 Scale design (the reference streams packs through worker threads +
 an ordered merge, io_service.cpp:122-254): parsing is vectorized -
 one C-level split on record boundaries and a bytes.translate per record
-instead of a Python loop over lines; the writer wraps lines with one
-NumPy scatter per sequence and streams ~8 MB chunks to the output
-(constant memory; gzip via a streaming GzipFile), so multi-million-
-sequence alignments never materialize twice in RAM.
+instead of a Python loop over lines; the writer mirrors the reference's
+parallel output pipeline - sequences are decoded (and, under -gz,
+compressed as independent gzip members, like the reference's per-pack
+libdeflate streams) in packs on a thread pool, with a bounded in-flight
+window and an ordered merge to the output stream, so multi-million-
+sequence alignments never materialize twice in RAM.  The NumPy
+decode/wrap and zlib compression release the GIL, so packs genuinely
+overlap.
 """
 
+import collections
+import concurrent.futures
 import gzip
+import os
 import sys
 
 import numpy as np
+
+WRITER_PACK = 256          # sequences per worker task (reference: 100)
 
 _WS_DELETE = b"\r\n\t "
 
@@ -86,38 +95,47 @@ def save_alignment(file_name, gapped_sequences, gzip_level=-1,
     else:
         raw = open(file_name, "wb")
         close_raw = True
-    if gzip_level >= 0:
-        if gzip_level > 9:
-            # the reference's libdeflate supports levels 10-12
-            # (io_service.cpp:131); zlib tops out at 9 - the output is
-            # still valid gzip, just a slightly larger stream
-            sys.stderr.write(
-                f"Warning: -gz_lev {gzip_level} not available "
-                "(zlib maximum is 9); compressing at level 9.\n")
-        out = gzip.GzipFile(fileobj=raw, mode="wb",
-                            compresslevel=min(gzip_level, 9), mtime=0)
-    else:
-        out = raw
+    if gzip_level > 9:
+        # the reference's libdeflate supports levels 10-12
+        # (io_service.cpp:131); zlib tops out at 9 - the output is
+        # still valid gzip, just a slightly larger stream
+        sys.stderr.write(
+            f"Warning: -gz_lev {gzip_level} not available "
+            "(zlib maximum is 9); compressing at level 9.\n")
+        gzip_level = 9
 
-    try:
-        buf = []
-        buf_bytes = 0
-        for gs in gapped_sequences:
+    def render_pack(lo):
+        parts = []
+        for gs in gapped_sequences[lo:lo + WRITER_PACK]:
             arr = np.frombuffer(gs.decode().encode(), dtype=np.uint8)
             if accepted is not None:
                 arr = arr[accepted]
-            rec = gs.id.encode() + b"\n" + _wrap60(arr)
-            buf.append(rec)
-            buf_bytes += len(rec)
-            if buf_bytes >= 8 << 20:
-                out.write(b"".join(buf))
-                buf = []
-                buf_bytes = 0
-        if buf:
-            out.write(b"".join(buf))
-    finally:
+            parts.append(gs.id.encode() + b"\n" + _wrap60(arr))
+        data = b"".join(parts)
         if gzip_level >= 0:
-            out.close()
+            # independent gzip member per pack, exactly like the
+            # reference's per-pack libdeflate streams (io_service.cpp:131)
+            data = gzip.compress(data, compresslevel=gzip_level, mtime=0)
+        return data
+
+    try:
+        n_workers = min(8, os.cpu_count() or 1)
+        starts = range(0, len(gapped_sequences), WRITER_PACK)
+        if n_workers <= 1 or len(gapped_sequences) <= WRITER_PACK:
+            for lo in starts:
+                raw.write(render_pack(lo))
+        else:
+            # bounded in-flight window + ordered merge (the reference's
+            # CLimitedPriorityQueue, io_service.cpp:122-254)
+            with concurrent.futures.ThreadPoolExecutor(n_workers) as ex:
+                window = collections.deque()
+                for lo in starts:
+                    window.append(ex.submit(render_pack, lo))
+                    if len(window) >= 4 * n_workers:
+                        raw.write(window.popleft().result())
+                while window:
+                    raw.write(window.popleft().result())
+    finally:
         if close_raw:
             raw.close()
         else:

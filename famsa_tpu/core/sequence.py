@@ -107,7 +107,7 @@ class GappedSequence:
     """Gapped sequence: symbols[0..size-1] plus n_gaps[0..size] run lengths."""
 
     __slots__ = ("id", "symbols", "n_gaps", "uppercase", "extra_symbols",
-                 "original_no", "sequence_no")
+                 "original_no", "sequence_no", "_cum")
 
     def __init__(self, id_, symbols, n_gaps, uppercase, extra_symbols,
                  original_no, sequence_no):
@@ -118,6 +118,7 @@ class GappedSequence:
         self.extra_symbols = extra_symbols
         self.original_no = original_no
         self.sequence_no = sequence_no
+        self._cum = None                  # cached cumsum(n_gaps+1), lazily built
 
     @classmethod
     def from_sequence(cls, seq: Sequence):
@@ -164,30 +165,44 @@ class GappedSequence:
         else:
             n_gaps[0] = new_width
         self.n_gaps = n_gaps
+        self._cum = None
+
+    def _cumline(self):
+        """Cached inclusive cumsum of (n_gaps+1) - the DPS query line.
+        Built once per burst of edits; point edits update the suffix in
+        place (one vectorized add), so probes are O(log n) searchsorted
+        instead of the reference's explicit BIT walk (sequence.cpp:480-704)
+        and nothing is recomputed per call."""
+        if self._cum is None:
+            self._cum = np.cumsum(self.n_gaps + 1)
+        return self._cum
 
     def _unit_of(self, pos):
         """Index x of the gap run 'unit' containing gapped position pos:
         smallest x with pos <= cum(x), cum(x) = sum_{i<=x}(n_gaps[i]+1).
         Matches the reference DPS walks (sequence.cpp:480-704)."""
-        cum = np.cumsum(self.n_gaps + 1)
-        return int(np.searchsorted(cum, pos, side="left"))
+        return int(np.searchsorted(self._cumline(), pos, side="left"))
+
+    def _bump(self, pos, n):
+        x = self._unit_of(pos)
+        self.n_gaps[x] += n
+        self._cum[x:] += n
 
     def insert_gap(self, pos):
-        self.n_gaps[self._unit_of(pos)] += 1
+        self._bump(pos, 1)
 
     def insert_gaps(self, pos, n):
-        self.n_gaps[self._unit_of(pos)] += n
+        self._bump(pos, n)
 
     def remove_gap(self, pos):
-        self.n_gaps[self._unit_of(pos)] -= 1
+        self._bump(pos, -1)
 
     def remove_gaps(self, pos, n):
-        self.n_gaps[self._unit_of(pos)] -= n
+        self._bump(pos, -n)
 
     def get_symbol(self, pos):
         x = self._unit_of(pos)
-        cum = int(self.n_gaps[:x + 1].sum()) + x + 1   # cum(x)
-        if pos == cum and x < self.size:
+        if x < self.size and pos == int(self._cumline()[x]):
             return int(self.symbols[x])
         return GAP
 
