@@ -4,6 +4,7 @@ Stages: sort+dedup -> guide tree (device-batched distances) -> progressive
 profile alignment up the tree -> iterative refinement -> duplicate
 restoration and input-order output."""
 
+import os
 import sys
 
 import numpy as np
@@ -102,6 +103,9 @@ def build_guide_tree(params, sequences, tree: GuideTree):
             cluster_fraction=params.medoid.cluster_fraction,
             cluster_iters=params.medoid.cluster_iters,
             seed_observer=_make_seed_dumper(params) if params.seed_file_name else None,
+            # concurrent depth-0 subtree builds on the host path; the jax
+            # backend serializes on the one device, so keep it sequential
+            n_threads=1 if backend == "jax" else (os.cpu_count() or 1),
         )
         ft.run(sequences, tree_list)
         return

@@ -1,9 +1,15 @@
 """PartTree / MedoidTree divide-and-conquer guide-tree heuristic.
 
 Port of /root/reference/src/tree/FastTree.cpp.  Distance evaluation runs
-through the pluggable backend (device-batched on TPU); seed selection,
+through the native LCS batch kernel (NumPy fallback); seed selection,
 CLARANS clustering and the recursive splice stay on host with the exact
-reference RNG draws (mt19937 default seed for eval 0)."""
+reference RNG draws (mt19937 default seed for eval 0).  Top-level
+subtree builds run concurrently on a thread pool (the reference's
+RegisteringQueue of depth-0 subtree tasks, FastTree.cpp:152-205): node-id
+bases are precomputed from the subgroup sizes, so the spliced tree is
+byte-identical to the sequential walk."""
+
+import concurrent.futures
 
 import numpy as np
 
@@ -25,10 +31,25 @@ def _seq_sum32(values):
     return np.add.accumulate(values.astype(np.float32))[-1]
 
 
+def _lcs_batch(masks, q):
+    """Native (ctypes, GIL-released) LCS batch; NumPy reference fallback.
+    Bit-identical (parity-tested vs ops/lcs.py)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and len(q):
+        lcs = np.empty(len(q), dtype=np.int64)
+        lib.lcs_batch(np.ascontiguousarray(masks), masks.shape[1],
+                      q, q.shape[0], q.shape[1], lcs)
+        return lcs
+    return lcs_ref_vs_queries(masks, q)
+
+
 class FastTree:
     def __init__(self, measure, partial_generator, subtree_size, sample_size,
                  num_evaluations, threshold, use_clustering,
-                 cluster_fraction, cluster_iters, seed_observer=None):
+                 cluster_fraction, cluster_iters, seed_observer=None,
+                 n_threads=1):
+        self.n_threads = n_threads
         self.measure = measure
         self.partial_generator = partial_generator   # fn(seqs, tree_list)
         self.subtree_size = subtree_size
@@ -47,7 +68,7 @@ class FastTree:
         q = np.full((count, lmax), 22, dtype=np.int8)
         for k in range(count):
             q[k, :len(sequences[k].data)] = sequences[k].data
-        lcs = lcs_ref_vs_queries(masks, q)
+        lcs = _lcs_batch(masks, q)
         lens = np.array([s.length for s in sequences[:count]], dtype=np.int64)
         return transform_distances(self.measure, lcs, int(ref.length), lens, dtype)
 
@@ -91,15 +112,32 @@ class FastTree:
             for j in range(n_seqs):
                 subgroups[assignments[j]].append(sequences[j])
 
+            # node-id bases are a prefix sum of the subgroup merge counts,
+            # so subtree builds are independent and can run concurrently
+            # (reference depth-0 RegisteringQueue, FastTree.cpp:152-205)
             subroots = [-1] * n_seeds
+            tops = [0] * n_seeds
             for k in range(n_seeds):
-                subgroup = subgroups[k]
-                if len(subgroup) > 1:
-                    local_tree = []
-                    self._do_step(subgroup, local_tree, previous_top, depth + 1)
-                    tree.extend(local_tree)
-                    previous_top += len(subgroup) - 1
+                tops[k] = previous_top
+                if len(subgroups[k]) > 1:
+                    previous_top += len(subgroups[k]) - 1
                     subroots[k] = previous_top - 1
+
+            def build(k):
+                local_tree = []
+                if len(subgroups[k]) > 1:
+                    self._do_step(subgroups[k], local_tree, tops[k], depth + 1)
+                return local_tree
+
+            big = sum(len(sg) > 1 for sg in subgroups)
+            if depth == 0 and self.n_threads > 1 and big > 1:
+                with concurrent.futures.ThreadPoolExecutor(
+                        min(self.n_threads, big)) as ex:
+                    for local_tree in ex.map(build, range(n_seeds)):
+                        tree.extend(local_tree)
+            else:
+                for k in range(n_seeds):
+                    tree.extend(build(k))
 
             local_tree = []
             self.partial_generator(seeds, local_tree)
