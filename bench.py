@@ -50,21 +50,20 @@ def measure_baseline():
 
 
 def _random_profile(rng, params, n_seqs, n_cols):
-    """Small random gapped profile (same generator as the parity tests)."""
+    """Random gapped profile, vectorized (the benchmark builds dozens of
+    2048-wide card-64 profiles; a per-char Python loop costs minutes of
+    host time before any device work)."""
     from famsa_tpu.core.profile import Profile
     from famsa_tpu.core.sequence import encode_gapped
-    aa = "ARNDCQEGHILKMFPSTWYV"
+    aa_arr = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
     p = Profile(params)
+    gap = rng.random((n_seqs, n_cols)) < 0.15
+    sym = rng.integers(0, 20, size=(n_seqs, n_cols))
+    rows = np.where(gap, np.uint8(ord("-")), aa_arr[sym])
+    rows[gap.all(axis=1), 0] = ord("A")
     for k in range(n_seqs):
-        chars = []
-        for _ in range(n_cols):
-            if rng.random() < 0.15:
-                chars.append('-')
-            else:
-                chars.append(aa[rng.integers(0, 20)])
-        if all(c == '-' for c in chars):
-            chars[0] = 'A'
-        p.append_raw_sequence(encode_gapped(f">s{k}", "".join(chars), k))
+        p.append_raw_sequence(
+            encode_gapped(f">s{k}", rows[k].tobytes().decode(), k))
     p.calculate_counters_scores()
     return p
 
