@@ -29,6 +29,7 @@ interpreter mode on CPU).
 """
 
 import functools
+import os
 
 import jax
 
@@ -44,6 +45,9 @@ from ..core.defs import (GAP, GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
 from .dp_jax import JaxDPResult, _bucket, _prepare_inputs
 
 NEG = np.int64(-INFTY)
+
+# TEMPORARY perf-ablation knob (timing experiments only; breaks results)
+_ABLATE = os.environ.get("FAMSA_TPU_ABLATE", "")
 
 
 def _lo32(x):
@@ -227,7 +231,8 @@ def _make_kernel(sb, blk, w2pe, single=False):
 
         if single:
             tb = c1_ref[0, :, :, 0:1] * s2_ref[0, 0, :, :][None]
-            for s in range(1, NO_AMINOACIDS_AND_GAPS):
+            for s in range(1, 2 if "nomac" in _ABLATE
+                           else NO_AMINOACIDS_AND_GAPS):
                 tb = tb + c1_ref[0, :, :, s:s + 1] * s2_ref[0, s, :, :][None]
             tmHb1 = tb + rb(11) * dE_c[None] + rb(12) * dT_c[None]
             tmVb1 = tb + rb(13) * g2chg_c[None]
@@ -251,7 +256,8 @@ def _make_kernel(sb, blk, w2pe, single=False):
                 return (x[0][None], x[1][None])
 
             tb = _k_pmul_u32(c1_ref[0, :, :, 0:1], s2p(0))
-            for s in range(1, NO_AMINOACIDS_AND_GAPS):
+            for s in range(1, 2 if "nomac" in _ABLATE
+                           else NO_AMINOACIDS_AND_GAPS):
                 tb = p_add(tb, _k_pmul_u32(c1_ref[0, :, :, s:s + 1], s2p(s)))
             tmHb = p_add(tb, p_add(_k_pmul_u32(rb(16), colp3(dE_p)),
                                    _k_pmul_u32(rb(17), colp3(dT_p))))
@@ -339,7 +345,10 @@ def _make_kernel(sb, blk, w2pe, single=False):
             mV = p_add(shf(V), ghs)
             m = p_where(three, p_max(mD, mV), mD)
             bc = (bcb[0][r], bcb[1][r])
-            run = p_cummax(p_sub(m, bc))
+            if "noscan" in _ABLATE:
+                run = p_sub(m, bc)
+            else:
+                run = p_cummax(p_sub(m, bc))
             H = p_add(bc, p_max(run, neg))
             H = p_where(lane == 0, neg, H)
 
@@ -360,6 +369,9 @@ def _make_kernel(sb, blk, w2pe, single=False):
                         jnp.sum(jnp.where(lastm, ch[1], jnp.int32(0)), axis=1,
                                 dtype=jnp.int32))
 
+            if "nofin" in _ABLATE:
+                fin_ref[0, r, :, :] = jnp.zeros((sb, 8), jnp.int32)
+                return (D, H, V)
             fD, fH, fV = pick(D), pick(H), pick(V)
             z32 = jnp.int32(0)
             fin = (jnp.where(fin_col == 0, fD[0][:, None], z32)
@@ -875,8 +887,14 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
                      jnp.where(pick_h, jnp.int32(_H), jnp.int32(_V)))
     total = jnp.where(pick_d, d0, jnp.where(pick_h, h0, v0))
 
-    emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
-        dirs_m, w1v, w2v, dir0, w1p + w2p)
+    if "notb" in _ABLATE:
+        T = _TB_T
+        iters = -(-(w1p + w2p) // (T - 1))
+        emits = jnp.full((b, iters * (T - 1)), 3, jnp.int32) \
+            + dirs_m[:, 0, 0:1] * 0
+    else:
+        emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
+            dirs_m, w1v, w2v, dir0, w1p + w2p)
     # ONE packed i32 output: every device->host pull costs a ~26 ms tunnel
     # round trip and ~40 MB/s, so emits (2-bit codes incl. the '3' done
     # sentinel) are packed 16-per-word and ride with dir0/total in a single
@@ -1147,6 +1165,8 @@ def _assemble_side(pairs, dev_pairs, n, b, side, wp):
     rows = []
     for k in range(b):
         d = dev_pairs[min(k, n - 1)][side]
+        if isinstance(d, MergedRef):
+            d = d.tensor()
         if d is None:
             p = pairs[min(k, n - 1)][side]
             gs = p.data[0] if len(p.data) == 1 else None
@@ -1161,7 +1181,10 @@ def _assemble_side(pairs, dev_pairs, n, b, side, wp):
                          if len(p.data) < 128 else np.int32)
             c[:p.width + 1] = p.counters
             rows.append(jnp.asarray(c).astype(jnp.int32))
-        elif d.shape[0] >= wp + 1:
+        elif d.shape[0] == wp + 1:
+            rows.append(d)          # no eager device op: every dispatch
+            # through the tunnel costs ~1-2 ms even without a pull
+        elif d.shape[0] > wp + 1:
             rows.append(d[:wp + 1])
         else:
             rows.append(jnp.zeros((wp + 1, 32), jnp.int32).at[:d.shape[0]]
