@@ -68,6 +68,27 @@ def _random_profile(rng, params, n_seqs, n_cols):
     return p
 
 
+def run_e2e_guard():
+    """Whole-pipeline regression guard - full adeno_fiber alignment
+    (fixed imported tree, refinement off) through the production
+    compute_msa path: scheduler, DP, traceback-construct, dedup/restore,
+    writer.  Runs FIRST and unconditionally so a kernel-bench crash can
+    never mask a pipeline regression (stderr only)."""
+    from famsa_tpu.cli import main as cli_main
+    ref_dir = "/root/reference/test/adeno_fiber"
+    t0 = time.perf_counter()
+    cli_main(["-gt", "import", f"{ref_dir}/upgma.dnd", "-refine_mode",
+              "off", f"{ref_dir}/adeno_fiber", "/tmp/bench_e2e.fasta"])
+    dt_e2e = time.perf_counter() - t0
+    ok = open("/tmp/bench_e2e.fasta", "rb").read() == \
+        open(f"{ref_dir}/upgma.no_refine.fasta", "rb").read()
+    print(f"e2e adeno (import tree, no refine): {dt_e2e:.2f} s "
+          f"-> {REF_CELLS/dt_e2e:.3e} cells/s incl. host stages"
+          f" (golden match: {ok})", file=sys.stderr)
+    if not ok:
+        raise SystemExit("E2E GOLDEN MISMATCH - pipeline regression")
+
+
 def main():
     import jax
 
@@ -75,6 +96,9 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     on_tpu = jax.default_backend() == "tpu"
+
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        run_e2e_guard()
 
     if on_tpu:
         # production TPU path: Mosaic DP kernel + on-device traceback +
@@ -172,23 +196,6 @@ def main():
         print(f"lcs distance rows: {nrows} x {nq} pairs (len {ln}) in "
               f"{dt_lcs*1e3:.1f} ms -> {nrows*nq/dt_lcs:.3e} pairs/s",
               file=sys.stderr)
-
-    if os.environ.get("BENCH_E2E", "1") == "1":
-        # secondary metric (stderr): whole-pipeline regression guard -
-        # full adeno_fiber alignment (fixed imported tree, refinement off)
-        # through the production compute_msa path: scheduler, DP,
-        # traceback-construct, dedup/restore, writer.
-        from famsa_tpu.cli import main as cli_main
-        ref_dir = "/root/reference/test/adeno_fiber"
-        t0 = time.perf_counter()
-        cli_main(["-gt", "import", f"{ref_dir}/upgma.dnd", "-refine_mode",
-                  "off", f"{ref_dir}/adeno_fiber", "/tmp/bench_e2e.fasta"])
-        dt_e2e = time.perf_counter() - t0
-        ok = open("/tmp/bench_e2e.fasta", "rb").read() == \
-            open(f"{ref_dir}/upgma.no_refine.fasta", "rb").read()
-        print(f"e2e adeno (import tree, no refine): {dt_e2e:.2f} s "
-              f"-> {REF_CELLS/dt_e2e:.3e} cells/s incl. host stages"
-              f" (golden match: {ok})", file=sys.stderr)
 
     baseline = measure_baseline()
     print(f"baseline (reference famsa, this host): {baseline:.3e} cells/s",

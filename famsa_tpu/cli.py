@@ -3,7 +3,8 @@
 import sys
 import time
 
-from .core.io_service import load_fasta_records, save_alignment
+from .core.io_service import (iter_fasta_records, load_fasta_records,
+                              save_alignment)
 from .core.params import parse_args
 from .core.sequence import Sequence
 from .pipeline import align_profiles, compute_msa
@@ -39,11 +40,12 @@ def main(argv=None):
                        params.rare_column_threshold if params.remove_rare_columns else 1.0)
         return 0
 
-    records = load_fasta_records(params.input_file_name)
-    if not records:
+    # streaming: sequences are built record by record, so peak RSS is the
+    # encoded sequence storage, not 2x the (gunzipped) file size
+    sequences = [Sequence(rid, rseq, i) for i, (rid, rseq)
+                 in enumerate(iter_fasta_records(params.input_file_name))]
+    if not sequences:
         raise RuntimeError("No (or incorrect) input file.")
-
-    sequences = [Sequence(rid, rseq, i) for i, (rid, rseq) in enumerate(records)]
     n_input = len(sequences)
     result = compute_msa(params, sequences)
 

@@ -37,6 +37,31 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
         profile2.calculate_counters_scores()
 
     dp_ss, dp_sp, dp_pp = dp_seq_seq, dp_seq_prof, dp_prof_prof
+    if (backend == "jax" and column_mapping1 is not None
+            and profile1.width * profile2.width >= _JAX_MIN_CELLS):
+        # guided (refinement) re-alignment on device: the Mosaic kernel
+        # masks cells outside the find_row_ranges band (reference
+        # profile.cpp:1320-1365, profile_seq.cpp:540-545), so the chip
+        # no longer idles through the refinement stage
+        import jax as _jax
+
+        pallas_mode = os.environ.get("FAMSA_TPU_DP_PALLAS", "1")
+        if (_jax.default_backend() == "tpu" and pallas_mode == "1") \
+                or pallas_mode == "interpret":
+            from ..ops.dp_pallas import dp_profile_pallas_paths_async
+            from .dp import find_row_ranges
+            _interp = pallas_mode == "interpret"
+
+            def _dp_guided(params, p1, p2, cm1, cm2):
+                rr = find_row_ranges(cm1, cm2,
+                                     params.guided_alignment_radius)
+                lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+                hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+                return dp_profile_pallas_paths_async(
+                    params, [(p1, p2)], bands=[(lo, hi)],
+                    interpret=_interp).resolve()[0]
+
+            dp_sp = dp_pp = _dp_guided
     if (backend == "jax" and column_mapping1 is None
             and profile1.width * profile2.width >= _JAX_MIN_CELLS):
         # the JAX kernel covers unguided seq-prof and prof-prof (they share
@@ -48,11 +73,12 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
                 if profile1.width * profile2.width >= _SHARD_DP_CELLS
                 else None)
         if mesh is not None:
-            # giant merge: column-shard the DP state across the mesh
-            from ..parallel.dp_sharded import dp_profile_sharded
+            # giant merge: column-shard the DP state across the mesh;
+            # traceback on device - only the O(W) path is pulled
+            from ..parallel.dp_sharded import dp_profile_sharded_paths
 
             def dp_sp(params, p1, p2, cm1=None, cm2=None):
-                return dp_profile_sharded(params, p1, p2, mesh)
+                return dp_profile_sharded_paths(params, p1, p2, mesh)
         else:
             def dp_sp(params, p1, p2, cm1=None, cm2=None):
                 return dp_profile_jax(params, p1, p2)

@@ -30,37 +30,100 @@ WRITER_PACK = 256          # sequences per worker task (reference: 100)
 _WS_DELETE = b"\r\n\t "
 
 
-def _open_input(file_name):
+READ_CHUNK = 1 << 24       # streaming input granularity (16 MB)
+
+
+class _PrefixReader:
+    """Read-only stream replaying a sniffed prefix before the real file."""
+
+    def __init__(self, prefix, f):
+        self._prefix = prefix
+        self._f = f
+
+    def read(self, n=-1):
+        if self._prefix:
+            if n is None or n < 0:
+                out = self._prefix + self._f.read(n)
+                self._prefix = b""
+                return out
+            out = self._prefix[:n]
+            self._prefix = self._prefix[len(out):]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+
+def _iter_input_chunks(file_name):
+    """Yields raw chunks of the (transparently gunzipped) input without
+    ever materializing the whole file - the reference streams via
+    stream_decompression (io_service.h:84-127, file_wrapper.h:140-323);
+    gzip.GzipFile handles multi-member streams the same way."""
     if file_name == "STDIN":
-        data = sys.stdin.buffer.read()
+        f = sys.stdin.buffer
+        close = False
     else:
-        with open(file_name, "rb") as f:
-            data = f.read()
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
-    return data
+        f = open(file_name, "rb")
+        close = True
+    try:
+        head = f.read(2)
+        src = _PrefixReader(head, f)
+        if head == b"\x1f\x8b":
+            src = gzip.GzipFile(fileobj=src)
+        while True:
+            chunk = src.read(READ_CHUNK)
+            if not chunk:
+                return
+            yield chunk
+    finally:
+        if close:
+            f.close()
+
+
+def _parse_record(chunk):
+    """One '>'-stripped record blob -> (id_line, sequence) or None."""
+    nl = chunk.find(b"\n")
+    if nl < 0:
+        return None
+    rid = b">" + chunk[:nl].rstrip(b"\r")
+    seq = chunk[nl + 1:].translate(None, _WS_DELETE)
+    if not seq:
+        return None
+    return (rid.decode("utf-8", errors="replace"),
+            seq.decode("utf-8", errors="replace"))
+
+
+def iter_fasta_records(file_name):
+    """Streaming FASTA parser: yields (id_line, sequence_string) like the
+    reference (io_service.h:84-127) - id includes the leading '>';
+    sequence lines are concatenated with all whitespace removed.  Peak
+    memory is one read chunk + one partial record, not 2x the file."""
+    buf = b""
+    started = False
+    for chunk in _iter_input_chunks(file_name):
+        buf += chunk
+        if not started:
+            start = buf.find(b">")
+            if start < 0:
+                buf = b""
+                continue
+            buf = buf[start + 1:]
+            started = True
+        parts = buf.split(b"\n>")
+        buf = parts[-1]
+        for blob in parts[:-1]:
+            rec = _parse_record(blob)
+            if rec is not None:
+                yield rec
+    if started and buf:
+        rec = _parse_record(buf)
+        if rec is not None:
+            yield rec
 
 
 def load_fasta_records(file_name):
-    """Returns [(id_line, sequence_string)] like the reference parser
-    (io_service.h:84-127): id includes the leading '>'; sequence lines
-    are concatenated with all whitespace removed."""
-    data = _open_input(file_name)
-    start = data.find(b">")
-    if start < 0:
-        return []
-    chunks = data[start + 1:].split(b"\n>")
-    records = []
-    for chunk in chunks:
-        nl = chunk.find(b"\n")
-        if nl < 0:
-            continue
-        rid = b">" + chunk[:nl].rstrip(b"\r")
-        seq = chunk[nl + 1:].translate(None, _WS_DELETE)
-        if seq:
-            records.append((rid.decode("utf-8", errors="replace"),
-                            seq.decode("utf-8", errors="replace")))
-    return records
+    """[(id_line, sequence_string)]; see iter_fasta_records."""
+    return list(iter_fasta_records(file_name))
 
 
 def _wrap60(arr):

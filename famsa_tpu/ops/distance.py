@@ -90,6 +90,12 @@ class DistanceBackend:
             return np.zeros(0, dtype=self.dtype)
         return self.row(ref_idx, np.arange(count))
 
+    def rows_batch(self, ref_ids, query_ids=None):
+        """Distance rows for several reference ids at once ([R, N] or
+        [R, len(query_ids)]).  Device backends override this to batch all
+        rows into few dispatches (FastTree seeds/assignment/CLARANS)."""
+        return np.stack([self.row(r, query_ids) for r in ref_ids])
+
 
 def get_distance_backend(sequences, measure, dtype, backend="numpy",
                          mesh=None):

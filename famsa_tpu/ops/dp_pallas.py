@@ -29,7 +29,6 @@ interpreter mode on CPU).
 """
 
 import functools
-import os
 
 import jax
 
@@ -45,9 +44,6 @@ from ..core.defs import (GAP, GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
 from .dp_jax import JaxDPResult, _bucket, _prepare_inputs
 
 NEG = np.int64(-INFTY)
-
-# TEMPORARY perf-ablation knob (timing experiments only; breaks results)
-_ABLATE = os.environ.get("FAMSA_TPU_ABLATE", "")
 
 
 def _lo32(x):
@@ -74,10 +70,15 @@ _COLF_P = {True: 15, False: 20}
 # rowf plane indices (per-row factors, [G, w1p, sb, K] i32).
 # common: 0 g1ce, 1 g1cte (bc-trick row counts).
 # single: 2-5 s1go s1ge s1gto s1gte, 6-9 g1so g1se g1sto g1ste,
-#         10 v0_cost, 11 n1c, 12 n1tc, 13 col1nng  (K=16 padded).
+#         10 v0_cost, 11 n1c, 12 n1tc, 13 col1nng,
+#         14 band_lo, 15 band_hi  (K=16).
 # pair:   2-11 (hi, lo) pairs of s1go s1ge s1gto s1gte v0_cost,
-#         12-15 g1so g1se g1sto g1ste, 16 n1c, 17 n1tc, 18 col1nng (K=20).
-_ROWF_K = {True: 16, False: 20}
+#         12-15 g1so g1se g1sto g1ste, 16 n1c, 17 n1tc, 18 col1nng,
+#         19 band_lo, 20 band_hi (K=24 padded).
+# band_lo/band_hi: guided-alignment band per DP row (reference
+# FindRowRanges, profile.cpp:1320-1365); read only when banded=True.
+_ROWF_K = {True: 16, False: 24}
+_BAND_PLANES = {True: (14, 15), False: (19, 20)}
 
 
 def _pallas_bucket(w):
@@ -157,7 +158,7 @@ def _k_pmul_u32(c, x):
     return (c * hi + hi_mul, lo_out)
 
 
-def _make_kernel(sb, blk, w2pe, single=False):
+def _make_kernel(sb, blk, w2pe, single=False, banded=False):
     def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, colf_ref, rowf_ref,
                s2_ref, c1_ref, dirs_ref, fin_ref, prev_ref):
         i = pl.program_id(1)
@@ -229,10 +230,16 @@ def _make_kernel(sb, blk, w2pe, single=False):
         def rb(k):
             return rowf_ref[0, :, :, k:k + 1]          # (blk, sb, 1)
 
+        if banded:
+            # guided band (reference row_ranges, profile.cpp:1320-1365):
+            # cells outside [lo, hi] read as -inf, exactly the host DP's
+            # clearing discipline (core/dp.py: the slice [min_j, max_j] +
+            # the lo-1 / hi+1.. clears); lane 0 keeps its boundary V
+            blo_b, bhi_b = (rb(k) for k in _BAND_PLANES[single])
+
         if single:
             tb = c1_ref[0, :, :, 0:1] * s2_ref[0, 0, :, :][None]
-            for s in range(1, 2 if "nomac" in _ABLATE
-                           else NO_AMINOACIDS_AND_GAPS):
+            for s in range(1, NO_AMINOACIDS_AND_GAPS):
                 tb = tb + c1_ref[0, :, :, s:s + 1] * s2_ref[0, s, :, :][None]
             tmHb1 = tb + rb(11) * dE_c[None] + rb(12) * dT_c[None]
             tmVb1 = tb + rb(13) * g2chg_c[None]
@@ -256,8 +263,7 @@ def _make_kernel(sb, blk, w2pe, single=False):
                 return (x[0][None], x[1][None])
 
             tb = _k_pmul_u32(c1_ref[0, :, :, 0:1], s2p(0))
-            for s in range(1, 2 if "nomac" in _ABLATE
-                           else NO_AMINOACIDS_AND_GAPS):
+            for s in range(1, NO_AMINOACIDS_AND_GAPS):
                 tb = p_add(tb, _k_pmul_u32(c1_ref[0, :, :, s:s + 1], s2p(s)))
             tmHb = p_add(tb, p_add(_k_pmul_u32(rb(16), colp3(dE_p)),
                                    _k_pmul_u32(rb(17), colp3(dT_p))))
@@ -318,6 +324,9 @@ def _make_kernel(sb, blk, w2pe, single=False):
             D = p_where(pickD, tDd, p_where(pickH, tHd, tVd))
             dD = jnp.where(pickD, c_D, jnp.where(pickH, c_H, c_V))
             D = p_where(lane == 0, neg, D)
+            if banded:
+                inb = (lane >= blo_b[r]) & (lane <= bhi_b[r])
+                D = p_where(inb, D, neg)
 
             three = (glob_r >= 1) & (lane >= 2)
 
@@ -339,18 +348,19 @@ def _make_kernel(sb, blk, w2pe, single=False):
             von = glob_r < w1m1                                # [sb, 1]
             Vb = p_where(von, V0vec, neg)
             V = p_where(lane == 0, Vb, V)
+            if banded:
+                V = p_where(inb | (lane == 0), V, neg)
 
             # ---- H channel: max-plus prefix scan along the row ----
             mD = p_add(shf(D), ghs)
             mV = p_add(shf(V), ghs)
             m = p_where(three, p_max(mD, mV), mD)
             bc = (bcb[0][r], bcb[1][r])
-            if "noscan" in _ABLATE:
-                run = p_sub(m, bc)
-            else:
-                run = p_cummax(p_sub(m, bc))
+            run = p_cummax(p_sub(m, bc))
             H = p_add(bc, p_max(run, neg))
             H = p_where(lane == 0, neg, H)
+            if banded:
+                H = p_where(inb, H, neg)
 
             tHh2 = p_add(shf(H), ghc)
             pickD3h = p_gt(mD, tHh2) & p_gt(mD, mV)
@@ -369,9 +379,6 @@ def _make_kernel(sb, blk, w2pe, single=False):
                         jnp.sum(jnp.where(lastm, ch[1], jnp.int32(0)), axis=1,
                                 dtype=jnp.int32))
 
-            if "nofin" in _ABLATE:
-                fin_ref[0, r, :, :] = jnp.zeros((sb, 8), jnp.int32)
-                return (D, H, V)
             fD, fH, fV = pick(D), pick(H), pick(V)
             z32 = jnp.int32(0)
             fin = (jnp.where(fin_col == 0, fD[0][:, None], z32)
@@ -475,7 +482,7 @@ def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
         for name in ("s1go", "s1ge", "s1gto", "s1gte",
                      "g1so", "g1se", "g1sto", "g1ste", "v0_cost"):
             rf.append(rw(name))
-        for name in ("n1c", "n1tc", "col1nng"):
+        for name in ("n1c", "n1tc", "col1nng", "blo", "bhi"):
             rf.append(rw(name))
         rf += [jnp.zeros_like(rf[0])] * (_ROWF_K[True] - len(rf))
     else:
@@ -483,7 +490,7 @@ def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
             hi, lo = _split(xs[name].astype(jnp.int64).transpose(0, 2, 1))
             rf += [hi, lo]
         for name in ("g1so", "g1se", "g1sto", "g1ste",
-                     "n1c", "n1tc", "col1nng"):
+                     "n1c", "n1tc", "col1nng", "blo", "bhi"):
             rf.append(rw(name))
         rf += [jnp.zeros_like(rf[0])] * (_ROWF_K[False] - len(rf))
     rowf = jnp.stack(rf, axis=3)                        # [G, w1p, sb, K]
@@ -503,7 +510,7 @@ def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
 
 
 def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
-                w1p, w2p, interpret=False, single=False):
+                w1p, w2p, interpret=False, single=False, banded=False):
     """The Mosaic row-loop kernel over O(W) factor tensors."""
     w2pe = w2p + LANE_PAD
     g = h0hi.shape[0]
@@ -538,7 +545,7 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
     ]
 
     dirs_i32, fins = pl.pallas_call(
-        _make_kernel(sb, blk, w2pe, single=single),
+        _make_kernel(sb, blk, w2pe, single=single, banded=banded),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -550,13 +557,13 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
 
 
 def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
-                   single=False):
+                   single=False, banded=False):
     """Input packing + kernel; returns the raw kernel outputs
     (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
     Traced inside the jitted wrappers below."""
     packed = _pack_kernel_inputs(colp, xs, w1p, w2p, single)
     return _run_kernel(*packed, sb, blk, w1p, w2p, interpret=interpret,
-                       single=single)
+                       single=single, banded=banded)
 
 
 @functools.partial(jax.jit,
@@ -635,6 +642,8 @@ def _prepare_pallas(params, p1, p2, w1p, w2p):
         g1ste=xs["g1ste"], g1ce=xs["g1ce"], g1cte=xs["g1cte"],
         v0_cost=xs["v0_cost"],
         w1m1=np.int64(p1.width - 1),
+        blo=np.zeros(w1p, np.int32),
+        bhi=np.full(w1p, p2.width, np.int32),
     )
     return colp, xsp
 
@@ -786,6 +795,9 @@ def _stage0_one(c1, c2, w1, w2, card1, card2, sm, gp, w1p, w2p,
         g1ste=g1[3][1:], g1ce=g1[4][1:], g1cte=g1[5][1:],
         v0_cost=jnp.where(ii == 1, s1gto * card2, s1gte * card2),
         w1m1=(w1 - 1).astype(jnp.int32),
+        # default (unguided) band: full row range [0, w2]
+        blo=jnp.zeros(w1p, jnp.int32),
+        bhi=jnp.broadcast_to(w2, (w1p,)).astype(jnp.int32),
     )
     return colp, xs
 
@@ -853,7 +865,8 @@ def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
     return em.reshape(iters * (T - 1))
 
 
-def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
+def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, banded=False,
+             interpret=False,
              single=False):
     """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
     true widths.  Returns a packed i32 array [B, S/16 + 3]
@@ -864,7 +877,7 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
     b = g * sb
 
     dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret,
-                                    single)
+                                    single, banded=banded)
     # [G, w1p, sb, w2pe] -> [B, w1p, w2pe]
     dirs_m = dirs_i32.transpose(0, 2, 1, 3).reshape(b, w1p, w2pe)
 
@@ -887,14 +900,8 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, interpret=False,
                      jnp.where(pick_h, jnp.int32(_H), jnp.int32(_V)))
     total = jnp.where(pick_d, d0, jnp.where(pick_h, h0, v0))
 
-    if "notb" in _ABLATE:
-        T = _TB_T
-        iters = -(-(w1p + w2p) // (T - 1))
-        emits = jnp.full((b, iters * (T - 1)), 3, jnp.int32) \
-            + dirs_m[:, 0, 0:1] * 0
-    else:
-        emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
-            dirs_m, w1v, w2v, dir0, w1p + w2p)
+    emits = jax.vmap(_traceback_one, in_axes=(0, 0, 0, 0, None))(
+        dirs_m, w1v, w2v, dir0, w1p + w2p)
     # ONE packed i32 output: every device->host pull costs a ~26 ms tunnel
     # round trip and ~40 MB/s, so emits (2-bit codes incl. the '3' done
     # sentinel) are packed 16-per-word and ride with dir0/total in a single
@@ -932,7 +939,8 @@ def _forward_paths(emits, dir0):
 
 
 def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                      sb, blk, w1p, w2p, interpret, single, merged=False):
+                      sb, blk, w1p, w2p, interpret, single, merged=False,
+                      blo=None, bhi=None):
     b = c1s.shape[0]
     g = b // sb
 
@@ -942,10 +950,16 @@ def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
         return _stage0_one(c1, c2, w1, w2, k1, k2, sm, gp, w1p, w2p, it)
 
     colp, xs = jax.vmap(one)(c1s, c2s, w1v, w2v, card1v, card2v)
+    banded = blo is not None
+    if banded:
+        # host-provided guided bands override stage 0's full-range default
+        xs["blo"] = blo.astype(jnp.int32)
+        xs["bhi"] = bhi.astype(jnp.int32)
     colp = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in colp.items()}
     xs = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in xs.items()}
     packed, emits, dir0 = _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p,
-                                   interpret, single)
+                                   banded=banded, interpret=interpret,
+                                   single=single)
     if not merged:
         return packed
     # device-resident result: merged counters from parents + forward path
@@ -959,7 +973,7 @@ def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                                              "interpret", "single", "merged"))
 def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                            sb, blk, w1p, w2p, interpret=False, single=False,
-                           merged=False):
+                           merged=False, blo=None, bhi=None):
     """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
     dtype, host OR device-resident), w1v/w2v/card1v/card2v [B] i32,
     sm [24,24] i64, gp static gap costs.  Stage 0 (scores, gap corrections,
@@ -967,7 +981,8 @@ def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
     merged profile counters [B, S+1, 32] i32 (device-resident: the next
     merge reads them without any host upload)."""
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                             sb, blk, w1p, w2p, interpret, single, merged)
+                             sb, blk, w1p, w2p, interpret, single, merged,
+                             blo=blo, bhi=bhi)
 
 
 def _csc_dense(counts, syms, vals, wp):
@@ -992,7 +1007,8 @@ def _csc_dense(counts, syms, vals, wp):
                                              "interpret", "single", "merged"))
 def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
                       card1v, card2v, sm, gp, sb, blk, w1p, w2p,
-                      interpret=False, single=False, merged=False):
+                      interpret=False, single=False, merged=False,
+                      blo=None, bhi=None):
     """Compact-upload variant: a profile column holds a handful of distinct
     symbols, so the host ships per-column nonzero counts (i8) + symbol ids
     (i8) + count values (i8/i16) instead of the dense [w, 32] tensor - the
@@ -1001,7 +1017,8 @@ def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
     c1s = _csc_dense(cnt1, sym1, val1, w1p)
     c2s = _csc_dense(cnt2, sym2, val2, w2p)
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
-                             sb, blk, w1p, w2p, interpret, single, merged)
+                             sb, blk, w1p, w2p, interpret, single, merged,
+                             blo=blo, bhi=bhi)
 
 
 def _csc_pack(pairs, n, b, side, wp):
@@ -1026,6 +1043,30 @@ def _csc_pack(pairs, n, b, side, wp):
         syms[k, :len(ss)] = ss
         vals[k, :len(v)] = v
     return cnt, syms, _shrink(vals)
+
+
+class MergedRef:
+    """Lazy view of ONE merge's counters inside a batched device tensor
+    mc [B, S+1, 32] i32 (merged_counters_device output; rows beyond the
+    true width are zero).  resolve() hands these out instead of eager
+    per-merge slices: through the axon tunnel every device op dispatch
+    costs ~1-2 ms even without a pull, so the slice is deferred until
+    _assemble_side, which cuts straight to the consumer's bucket width
+    in a single op (usually zero ops: mc rows >= wp+1, one slice)."""
+    __slots__ = ("batch", "k", "rows")
+
+    def __init__(self, batch, k, rows):
+        self.batch = batch          # [B, S+1, 32] i32, on device
+        self.k = k                  # merge index within the batch
+        self.rows = rows            # true width + 1 (valid row count)
+
+    def tensor(self):
+        """[rows, 32] i32 device array of the true-width counters."""
+        return self.batch[self.k, :self.rows]
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self.tensor())
+        return a if dtype is None else a.astype(dtype)
 
 
 class JaxPathResult:
@@ -1136,65 +1177,93 @@ class PendingPaths:
             full.reverse()
             md = None
             if self._merged is not None:
-                # device-side slice to the true width (lazy, no pull)
-                md = self._merged[k, :stop + 1]
+                # lazy device-side view (no slice op, no pull)
+                md = MergedRef(self._merged, k, stop + 1)
             out.append(JaxPathResult(full[1:], int(total[k]), md))
         return out
 
 
 @functools.partial(jax.jit, static_argnames=("wp",))
-def _leaf_counters_dev(sym, wp):
-    """Ungapped single-sequence profile counters from its symbols: the
-    leaf upload is [w] i8 instead of [w+1, 32] (32x less through the
-    tunnel); counters[1+k, sym[k]] = 1.  sym is padded to a bucketed
-    length with the GUARD code 31 - the bogus one-hots land beyond the
-    true width, where no consumer reads (stage 0 masks rows > w, the
-    merged-counter gathers stop at w)."""
-    w = sym.shape[0]
-    oh = (sym[:, None].astype(jnp.int32)
-          == jnp.arange(32, dtype=jnp.int32)[None]).astype(jnp.int32)
-    out = jnp.zeros((wp + 1, 32), jnp.int32)
-    return out.at[1:w + 1].set(oh)
+def _leaf_counters_dev_b(syms, wp):
+    """Batched ungapped-leaf profile counters from symbol bytes: the leaf
+    upload is [B, wp] i8 instead of [B, wp+1, 32] (32x less through the
+    tunnel); counters[k, 1+j, syms[k, j]] = 1.  Symbols are padded with
+    the GUARD code 31 - the bogus one-hots land beyond the true width,
+    where no consumer reads (stage 0 masks rows > w, the merged-counter
+    gathers stop at w)."""
+    oh = (syms[:, :, None].astype(jnp.int32)
+          == jnp.arange(32, dtype=jnp.int32)[None, None]).astype(jnp.int32)
+    out = jnp.zeros((syms.shape[0], wp + 1, 32), jnp.int32)
+    return out.at[:, 1:wp + 1].set(oh)
 
 
 def _assemble_side(pairs, dev_pairs, n, b, side, wp):
-    """[B, wp+1, 32] i32 device tensor for one merge side: device-resident
-    parent counters are sliced/padded ON DEVICE (no transfer); ungapped
-    leaves upload only their symbol bytes; other host-only profiles
-    upload narrow dense counters and are widened on device."""
-    rows = []
+    """[B, wp+1, 32] i32 device tensor for one merge side, in O(1) device
+    ops per DISPATCH (every eager op through the axon tunnel costs
+    ~1-2 ms even without a pull): device-resident parent counters are
+    gathered once per source batch (MergedRefs from one resolved dispatch
+    share their tensor) and masked in; ungapped leaves upload only their
+    symbol bytes, one-hotted on device in one batched op; other host-only
+    profiles ride a single dense upload."""
+    host_c = None                    # lazily-allocated dense upload
+    leaf_syms = None                 # [b, wp] i8 symbol upload
+    leaf_mask = np.zeros(b, dtype=bool)
+    groups = {}                      # id(batch) -> [batch, src_ids, mask]
+    misc = []                        # rare: (k, oddly-shaped device array)
     for k in range(b):
         d = dev_pairs[min(k, n - 1)][side]
         if isinstance(d, MergedRef):
-            d = d.tensor()
+            if d.batch.shape[1] >= wp + 1:
+                g = groups.setdefault(
+                    id(d.batch),
+                    [d.batch, np.zeros(b, np.int32), np.zeros(b, bool)])
+                g[1][k] = d.k
+                g[2][k] = True
+                continue
+            d = d.tensor()           # narrower than the target bucket
         if d is None:
             p = pairs[min(k, n - 1)][side]
             gs = p.data[0] if len(p.data) == 1 else None
             if gs is not None and int(gs.n_gaps.sum()) == 0 \
                     and gs.size <= wp:
-                wb = min(_bucket(gs.size), wp)
-                symp = np.full(wb, 31, dtype=np.int8)
-                symp[:gs.size] = gs.symbols
-                rows.append(_leaf_counters_dev(jnp.asarray(symp), wp=wp))
+                if leaf_syms is None:
+                    leaf_syms = np.full((b, wp), 31, dtype=np.int8)
+                leaf_syms[k, :gs.size] = gs.symbols
+                leaf_mask[k] = True
                 continue
-            c = np.zeros((wp + 1, 32), dtype=np.int8
-                         if len(p.data) < 128 else np.int32)
-            c[:p.width + 1] = p.counters
-            rows.append(jnp.asarray(c).astype(jnp.int32))
-        elif d.shape[0] == wp + 1:
-            rows.append(d)          # no eager device op: every dispatch
-            # through the tunnel costs ~1-2 ms even without a pull
+            if host_c is None:
+                host_c = np.zeros((b, wp + 1, 32), dtype=np.int8)
+            if len(p.data) >= 128 and host_c.dtype == np.int8:
+                host_c = host_c.astype(np.int32)
+            host_c[k, :p.width + 1] = p.counters
         elif d.shape[0] > wp + 1:
-            rows.append(d[:wp + 1])
+            misc.append((k, d[:wp + 1]))
+        elif d.shape[0] < wp + 1:
+            misc.append((k, jnp.zeros((wp + 1, 32), jnp.int32)
+                         .at[:d.shape[0]].set(d)))
         else:
-            rows.append(jnp.zeros((wp + 1, 32), jnp.int32).at[:d.shape[0]]
-                        .set(d))
-    return jnp.stack(rows)
+            misc.append((k, d))
+
+    if host_c is not None:
+        out = jnp.asarray(host_c).astype(jnp.int32)
+    else:
+        out = jnp.zeros((b, wp + 1, 32), jnp.int32)
+    if leaf_syms is not None:
+        out = jnp.where(jnp.asarray(leaf_mask)[:, None, None],
+                        _leaf_counters_dev_b(jnp.asarray(leaf_syms), wp=wp),
+                        out)
+    for batch, src, mask in groups.values():
+        got = batch[jnp.asarray(src), :wp + 1]
+        out = jnp.where(jnp.asarray(mask)[:, None, None], got, out)
+    for k, row in misc:
+        out = out.at[k].set(row)
+    return out
 
 
 def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
                                   single=None, force_dense=False,
-                                  dev_pairs=None, want_merged=False):
+                                  dev_pairs=None, want_merged=False,
+                                  bands=None):
     """Batched DP + device traceback, dispatched without blocking: returns
     a PendingPaths.  The host uploads only the nonzero counter entries
     (per-column compact encoding, see _csc_pack) or narrow dense counters
@@ -1204,7 +1273,12 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     device-resident counter tensors for sides whose profiles were merged
     on device (see merged_counters_device); those sides upload NOTHING.
     want_merged=True computes each merge's counters on device and hands
-    them back in the results' .merged_dev (still on device)."""
+    them back in the results' .merged_dev (still on device).
+
+    bands: optional [(lo, hi)|None] aligned with pairs - guided-alignment
+    row ranges (find_row_ranges output, DP-row indexed arrays [w1+2]);
+    cells outside the band read -inf exactly like the host's banded DP
+    (reference profile_seq.cpp:540-545)."""
     n = len(pairs)
     if sb is None:
         sb = 8 if n >= 5 else 1
@@ -1216,6 +1290,21 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
 
     g = (n + sb - 1) // sb
     b = g * sb
+
+    blo = bhi = None
+    if bands is not None and any(bd is not None for bd in bands):
+        blo_np = np.zeros((b, w1p), np.int32)
+        bhi_np = np.empty((b, w1p), np.int32)
+        for k in range(b):
+            p1, p2 = pairs[min(k, n - 1)]
+            bhi_np[k] = p2.width
+            bd = bands[min(k, n - 1)]
+            if bd is not None:
+                lo, hi = bd
+                # kernel row r computes DP row r+1
+                blo_np[k, :p1.width] = lo[1:p1.width + 1]
+                bhi_np[k, :p1.width] = hi[1:p1.width + 1]
+        blo, bhi = jnp.asarray(blo_np), jnp.asarray(bhi_np)
     w1v = np.empty(b, dtype=np.int32)
     w2v = np.empty(b, dtype=np.int32)
     k1v = np.empty(b, dtype=np.int32)
@@ -1238,7 +1327,8 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
         c2s = _assemble_side(pairs, dev_pairs, n, b, 1, w2p)
         packed = _dp_pallas_tb_counters(
             c1s, c2s, *common, gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
-            interpret=interpret, single=single, merged=want_merged)
+            interpret=interpret, single=single, merged=want_merged,
+            blo=blo, bhi=bhi)
         if want_merged:
             packed, mc = packed
             return PendingPaths(packed, n, mc)
@@ -1258,7 +1348,8 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             jnp.asarray(cnt2), jnp.asarray(sym2), jnp.asarray(val2),
             *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
-            interpret=interpret, single=single, merged=want_merged)
+            interpret=interpret, single=single, merged=want_merged,
+            blo=blo, bhi=bhi)
     else:
         # pack straight into the upload dtype (counts <= card)
         maxc = int(max(k1v.max(), k2v.max()))
@@ -1274,7 +1365,8 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
         out = _dp_pallas_tb_counters(
             jnp.asarray(c1s), jnp.asarray(c2s), *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
-            interpret=interpret, single=single, merged=want_merged)
+            interpret=interpret, single=single, merged=want_merged,
+            blo=blo, bhi=bhi)
     if want_merged:
         packed, mc = out
         return PendingPaths(packed, n, mc)
@@ -1282,11 +1374,11 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
 
 
 def dp_profile_pallas_paths(params, pairs, sb=None, interpret=False,
-                            single=None, force_dense=False):
+                            single=None, force_dense=False, bands=None):
     """Blocking variant: dispatch one batch and pull its paths."""
     return dp_profile_pallas_paths_async(
         params, pairs, sb=sb, interpret=interpret, single=single,
-        force_dense=force_dense).resolve()
+        force_dense=force_dense, bands=bands).resolve()
 
 
 def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False,

@@ -126,3 +126,6 @@ class JaxDistanceBackend:
         if count == 0:
             return np.zeros(0, dtype=self.dtype)
         return self.row(ref_idx, np.arange(count))
+
+    def rows_batch(self, ref_ids, query_ids=None):
+        return np.stack([self.row(int(r), query_ids) for r in ref_ids])

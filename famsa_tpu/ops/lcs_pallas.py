@@ -263,3 +263,23 @@ class PallasDistanceBackend:
         if count == 0:
             return np.zeros(0, dtype=self.dtype)
         return self.row(ref_idx, np.arange(count))
+
+    def rows_batch(self, ref_ids, query_ids=None):
+        """[R, N] (or [R, len(query_ids)]) distance rows in block_rows-row
+        device dispatches - FastTree's seed assignment pass and the CLARANS
+        sample matrix ride the same batched kernel as the tree sweeps
+        (reference FastTree.cpp:302-330, 385-436)."""
+        ref_ids = np.asarray(ref_ids, dtype=np.int64)
+        ncol = self.n if query_ids is None else len(query_ids)
+        out = np.empty((len(ref_ids), ncol), dtype=self.dtype)
+        for k0 in range(0, len(ref_ids), self.block_rows):
+            ids = ref_ids[k0:k0 + self.block_rows]
+            lcs = self._lcs_block(ids)
+            for j, rid in enumerate(ids):
+                lj = lcs[j] if query_ids is None else lcs[j][query_ids]
+                ql = self.lengths if query_ids is None \
+                    else self.lengths[query_ids]
+                out[k0 + j] = self._transform(
+                    self.measure, lj, int(self.sequences[rid].length), ql,
+                    self.dtype)
+        return out

@@ -267,3 +267,6 @@ class ShardedDistanceBackend:
         if count == 0:
             return np.zeros(0, dtype=self.dtype)
         return self.row(ref_idx, np.arange(count))
+
+    def rows_batch(self, ref_ids, query_ids=None):
+        return np.stack([self.row(int(r), query_ids) for r in ref_ids])

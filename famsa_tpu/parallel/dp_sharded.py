@@ -225,3 +225,81 @@ def dp_profile_sharded(params, profile1, profile2, mesh, axis="cols"):
     lD, lH, lV = np.asarray(lD), np.asarray(lH), np.asarray(lV)
     res.last = (int(lD[w1 - 1]), int(lH[w1 - 1]), int(lV[w1 - 1]))
     return res
+
+
+_tb_sharded = None
+
+
+def dp_profile_sharded_paths(params, profile1, profile2, mesh, axis="cols"):
+    """Column-sharded DP + on-device traceback: only the O(W) path (2-bit
+    codes) and the [w1p] final-channel vectors leave the device - a
+    >= 2e8-cell merge's dirs matrix is >= 200 MB against the ~20-40 MB/s
+    tunnel, the path is ~W bytes.  The reference's parallel engine
+    likewise never materializes the matrix off-node
+    (profile_par.cpp:441-905).  Returns a JaxPathResult (construct's
+    _trace_path short-circuits on .path)."""
+    global _tb_sharded
+    from ..ops.dp_pallas import _D, _H, _V, JaxPathResult, _traceback_one
+
+    if _tb_sharded is None:
+        def _tb(dirs_u8, w1, w2, dir0, nsteps):
+            return _traceback_one(dirs_u8.astype(jnp.int32), w1, w2, dir0,
+                                  nsteps)
+        _tb_sharded = jax.jit(_tb, static_argnames=("nsteps",))
+
+    w1 = profile1.width
+    w2 = profile2.width
+    w1p, w2p = _bucket(w1), _bucket(profile2.width)
+
+    S = mesh.devices.size
+    L = -(-(w2p + 1) // S) * S
+    if w1p < 32 or L < 32:
+        # tiny merge (tests only): the tiled traceback's [32, 32] window
+        # gather needs both dims; fall back to the dirs-returning variant
+        # (construct walks them on host)
+        return dp_profile_sharded(params, profile1, profile2, mesh, axis)
+
+    col, xs = _prepare_inputs(params, profile1, profile2, w1p, w2p)
+
+    def padL(a, fill=0):
+        out = np.full((L,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:a.shape[0]] = a
+        return out
+
+    def shift1(a):
+        out = np.zeros(L, dtype=a.dtype)
+        out[1:1 + a.shape[0]] = a
+        return out
+
+    c = dict(
+        s2=padL(col["s2_sym"]),
+        p2g=np.stack([padL(col["p2gaps"][k]) for k in range(4)]),
+        g2chg=padL(col["gaps2_change"]),
+        h0=padL(col["h0_row"], fill=NEG_INF),
+        lastm=padL(col["last_col_mask"]),
+        g2so=shift1(col["g2so"]), g2se=shift1(col["g2se"]),
+        g2sto=shift1(col["g2sto"]), g2ste=shift1(col["g2ste"]),
+        g2ce=shift1(col["g2ce"]), g2cte=shift1(col["g2cte"]),
+    )
+    xs.pop("w1m1", None)
+
+    prog = _sharded_program(mesh, w1p, L, axis)
+    dirs, lD, lH, lV = prog({k: jnp.asarray(v) for k, v in c.items()},
+                            {k: jnp.asarray(v) for k, v in xs.items()})
+
+    d0 = int(np.asarray(lD)[w1 - 1])
+    h0 = int(np.asarray(lH)[w1 - 1])
+    v0 = int(np.asarray(lV)[w1 - 1])
+    if d0 >= h0 and d0 >= v0:
+        dir0, total = _D, d0
+    elif h0 > v0:
+        dir0, total = _H, h0
+    else:
+        dir0, total = _V, v0
+
+    emits = np.asarray(_tb_sharded(dirs, jnp.int32(w1), jnp.int32(w2),
+                                   jnp.int32(dir0), nsteps=w1p + L))
+    stop = int(np.argmax(emits == 3)) if (emits == 3).any() else len(emits)
+    full = [int(dir0)] + [int(x) for x in emits[:stop]]
+    full.reverse()
+    return JaxPathResult(full[1:], int(total))

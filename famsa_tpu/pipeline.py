@@ -106,6 +106,13 @@ def build_guide_tree(params, sequences, tree: GuideTree):
             # concurrent depth-0 subtree builds on the host path; the jax
             # backend serializes on the one device, so keep it sequential
             n_threads=1 if backend == "jax" else (os.cpu_count() or 1),
+            # medoid-path distances (seeds/assignment/CLARANS sample) ride
+            # the device LCS kernel on the jax backend
+            # (reference FastTree.cpp:302-330, 385-436)
+            backend_factory=(
+                (lambda seqs, dtype: get_distance_backend(
+                    seqs, measure, dtype, backend))
+                if backend == "jax" else None),
         )
         ft.run(sequences, tree_list)
         return
@@ -127,7 +134,9 @@ def build_guide_tree(params, sequences, tree: GuideTree):
                 mst_prim_tree_device(sequences, tree_list)
         else:
             be = get_distance_backend(sequences, measure, np.float64, backend)
-            mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list)
+            mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list,
+                          lengths=[s.length for s in sequences],
+                          measure=measure)
     elif params.gt_method in (P.GT_UPGMA, P.GT_UPGMA_MODIFIED):
         be = get_distance_backend(sequences, measure, np.float32, backend)
         dmat = upgma_distance_matrix(n, lambda i: be.row_prefix(i, i))

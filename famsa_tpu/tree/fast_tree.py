@@ -10,6 +10,7 @@ bases are precomputed from the subgroup sizes, so the spliced tree is
 byte-identical to the sequential walk."""
 
 import concurrent.futures
+import os
 
 import numpy as np
 
@@ -48,8 +49,17 @@ class FastTree:
     def __init__(self, measure, partial_generator, subtree_size, sample_size,
                  num_evaluations, threshold, use_clustering,
                  cluster_fraction, cluster_iters, seed_observer=None,
-                 n_threads=1):
+                 n_threads=1, backend_factory=None):
         self.n_threads = n_threads
+        # backend_factory(sequences, dtype) -> distance backend: routes the
+        # medoid-path distance vectors (seeds, assignment pass, CLARANS
+        # sample matrix) through the device LCS kernel (reference drives
+        # them through the shared batched engine, FastTree.cpp:302-436).
+        # Subsets below the gate stay on the host-native kernel (a device
+        # dispatch + mask-table upload has a fixed ~26 ms + bytes cost).
+        self.backend_factory = backend_factory
+        self.device_min = int(os.environ.get(
+            "FAMSA_TPU_FASTTREE_DEV_MIN", "1024"))
         self.measure = measure
         self.partial_generator = partial_generator   # fn(seqs, tree_list)
         self.subtree_size = subtree_size
@@ -62,6 +72,11 @@ class FastTree:
         self.seed_observer = seed_observer
 
     # ------------------------------------------------------------------
+    def _make_be(self, sequences):
+        if self.backend_factory is None or len(sequences) < self.device_min:
+            return None
+        return self.backend_factory(sequences, np.float32)
+
     def _dist_vector(self, ref, sequences, count, dtype=np.float32):
         masks = build_bit_masks(ref.data, ref.data_size)
         lmax = max(s.data_size for s in sequences[:count]) if count else 0
@@ -74,6 +89,12 @@ class FastTree:
 
     def _dist_matrix(self, samples, dtype=np.float32):
         n = len(samples)
+        be = self._make_be(samples)
+        if be is not None:
+            # full rows on device; exactly symmetric (LCS and both
+            # transforms are symmetric in (len1, len2), and equal inputs
+            # give bit-equal float32) with a 0.0 diagonal like the host
+            return be.rows_batch(np.arange(n)).astype(dtype)
         d = np.zeros((n, n), dtype=dtype)
         for i in range(n):
             row = self._dist_vector(samples[i], samples, i, dtype)
@@ -174,27 +195,44 @@ class FastTree:
         """FastTree.cpp:270-331."""
         n_seqs = len(sequences)
         seed = 5489 if eval_num == 0 else _hash_uint32(eval_num)
+        be = self._make_be(sequences)
 
         if not self.use_clustering:
-            n_seeds, seed_ids, dist_row = self._random_seeds(sequences, self.subtree_size)
+            n_seeds, seed_ids, dist_row = self._random_seeds(
+                sequences, self.subtree_size, be)
         else:
             n_seeds, seed_ids, dist_row = self._cluster_seeds(
-                sequences, self.subtree_size, self.sample_size, seed)
+                sequences, self.subtree_size, self.sample_size, seed, be)
 
         assignments = np.zeros(n_seqs, dtype=np.int64)
-        for k in range(1, n_seeds):
-            current = self._dist_vector(sequences[seed_ids[k]], sequences, n_seqs)
-            upd = current < dist_row
-            dist_row[upd] = current[upd]
-            assignments[upd] = k
+        if be is not None:
+            # assignment pass batched through the device kernel
+            # (reference FastTree.cpp:302-330); chunked so the [R, N]
+            # block stays modest at multi-million-sequence scale
+            for k0 in range(1, n_seeds, 32):
+                ids = seed_ids[k0:min(k0 + 32, n_seeds)]
+                rows = be.rows_batch(np.asarray(ids, dtype=np.int64))
+                for off in range(len(ids)):
+                    current = rows[off]
+                    upd = current < dist_row
+                    dist_row[upd] = current[upd]
+                    assignments[upd] = k0 + off
+        else:
+            for k in range(1, n_seeds):
+                current = self._dist_vector(
+                    sequences[seed_ids[k]], sequences, n_seqs)
+                upd = current < dist_row
+                dist_row[upd] = current[upd]
+                assignments[upd] = k
 
         cost = _seq_sum32(dist_row)
         return cost, n_seeds, list(seed_ids), assignments
 
-    def _random_seeds(self, sequences, n_seeds):
+    def _random_seeds(self, sequences, n_seeds, be=None):
         """PartTree seed pick (FastTree.cpp:334-362)."""
         n_seqs = len(sequences)
-        dist_row = self._dist_vector(sequences[0], sequences, n_seqs)
+        dist_row = (be.row(0) if be is not None
+                    else self._dist_vector(sequences[0], sequences, n_seqs))
         mt = MT19937()
         random_ids = list(range(n_seqs))
         furthest = 1 + int(np.argmax(dist_row[1:]))
@@ -203,10 +241,11 @@ class FastTree:
         seed_ids = sorted(random_ids[:n_seeds])
         return n_seeds, seed_ids, dist_row
 
-    def _cluster_seeds(self, sequences, n_seeds, n_samples, seed):
+    def _cluster_seeds(self, sequences, n_seeds, n_samples, seed, be=None):
         """MedoidTree seed pick (FastTree.cpp:365-436)."""
         n_seqs = len(sequences)
-        dist_row = self._dist_vector(sequences[0], sequences, n_seqs)
+        dist_row = (be.row(0) if be is not None
+                    else self._dist_vector(sequences[0], sequences, n_seqs))
 
         if n_samples >= n_seqs:
             n_samples = n_seqs

@@ -17,12 +17,32 @@ from .tree_defs import U64_MASK, uint64_to_id
 _DMAX = np.finfo(np.float64).max
 
 
-def mst_prim_tree(n_seq, row_fn, tree):
+def mst_prim_tree(n_seq, row_fn, tree, lengths=None, measure=None):
     """row_fn(ref_idx, ids) -> float64 distances ref vs sequences[ids].
 
-    Appends n_seq-1 merge nodes to `tree`."""
+    Appends n_seq-1 merge nodes to `tree`.
+
+    lengths/measure (optional): enables the reference's theoretical-best
+    prefilter (MSTPrim.cpp:450-467, USE_THEORETICAL_BEST_POSSIBLE_DIST):
+    a pair whose best possible distance (at lcs = min(len1, len2)) already
+    exceeds the vertex's current best can never update it - its LCS is
+    skipped.  Exact: the transform is decreasing in lcs, so actual >=
+    theoretical-best > current best implies no update even via the
+    tie-break (which requires equality).  A large constant-factor win on
+    heterogeneous-length families; byte-identical trees."""
     if n_seq == 1:
         return
+
+    prefilter = None
+    if lengths is not None and measure is not None:
+        from ..ops.distance import transform_distances
+        lengths = np.asarray(lengths, dtype=np.int64)
+
+        def prefilter(cur, ids, cur_best):
+            best_lcs = np.minimum(lengths[cur], lengths[ids])
+            tb = transform_distances(measure, best_lcs, int(lengths[cur]),
+                                     lengths[ids], np.float64)
+            return tb <= cur_best
 
     dist = np.full(n_seq, _DMAX, dtype=np.float64)
     tieb = np.zeros(n_seq, dtype=np.uint64)
@@ -42,16 +62,20 @@ def mst_prim_tree(n_seq, row_fn, tree):
 
     for _ in range(n_seq - 1):
         ids = np.nonzero(remaining)[0]
-        d = row_fn(cur, ids)
+        if prefilter is not None:
+            ids = ids[prefilter(cur, ids, dist[ids])]
+        if len(ids):
+            d = row_fn(cur, ids)
 
-        lo = np.minimum(ids_all[ids], np.uint64(cur))
-        hi = np.maximum(ids_all[ids], np.uint64(cur))
-        packed = (~((lo << np.uint64(32)) + hi)) & np.uint64(U64_MASK)
+            lo = np.minimum(ids_all[ids], np.uint64(cur))
+            hi = np.maximum(ids_all[ids], np.uint64(cur))
+            packed = (~((lo << np.uint64(32)) + hi)) & np.uint64(U64_MASK)
 
-        upd = (d < dist[ids]) | ((d == dist[ids]) & (packed < tieb[ids]))
-        uids = ids[upd]
-        dist[uids] = d[upd]
-        tieb[uids] = packed[upd]
+            upd = (d < dist[ids]) | ((d == dist[ids]) & (packed < tieb[ids]))
+            uids = ids[upd]
+            dist[uids] = d[upd]
+            tieb[uids] = packed[upd]
+        ids = np.nonzero(remaining)[0]
 
         # lexicographic argmin over remaining by (dist, tieb)
         sub_d = dist[ids]

@@ -247,3 +247,140 @@ def test_dp_pallas_device_resident_flow():
 
     assert res_h.total == res_d.total
     assert res_h.path == res_d.path
+
+
+def test_dp_pallas_guided_band():
+    """Guided (banded) DP on the Mosaic kernel vs the host banded DP
+    (find_row_ranges masks, reference profile.cpp:1320-1365 +
+    profile_seq.cpp:540-545): the refinement split scenario - align two
+    profiles, split the result, condense to get column mappings, and
+    re-align guided.  Covers prof-prof and seq-prof, single and pair
+    cost modes, and a mixed batch (one banded + one full-range)."""
+    from famsa_tpu.core.aligner import align_into
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import find_row_ranges
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_paths
+
+    rng = np.random.default_rng(53)
+    params = Params()
+    params.adjust(50)
+
+    def split_case(n1, n2, w1, w2, pick):
+        p1 = _make_profile(rng, params, n1, w1)
+        p2 = _make_profile(rng, params, n2, w2)
+        dest = Profile(params)
+        align_into(dest, p1, p2, backend="numpy")
+        a, b = Profile(params), Profile(params)
+        for k, gs in enumerate(dest.data):
+            (a if pick(k) else b).append_raw_sequence(gs)
+        _, cm1 = a.condense()
+        _, cm2 = b.condense()
+        a.optimize_gaps()
+        b.optimize_gaps()
+        a.calculate_counters_scores()
+        b.calculate_counters_scores()
+        return a, b, list(cm1), list(cm2)
+
+    cases = [
+        split_case(3, 4, 40, 55, lambda k: k % 2 == 0),      # prof-prof
+        split_case(2, 3, 50, 45, lambda k: k == 0),          # seq-prof
+    ]
+
+    for a, b, cm1, cm2 in cases:
+        if len(a.data) == 1:
+            ref = dp_seq_prof(params, a, b, list(cm1), list(cm2))
+        else:
+            ref = dp_prof_prof(params, a, b, list(cm1), list(cm2))
+        path, total = _trace_path(ref, a.width, b.width)
+
+        rr = find_row_ranges(list(cm1), list(cm2),
+                             params.guided_alignment_radius)
+        lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+        hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+
+        for single in (True, False):
+            got = dp_profile_pallas_paths(
+                params, [(a, b)], interpret=True, single=single,
+                bands=[(lo, hi)])[0]
+            assert got.total == total, (len(a.data), single)
+            assert got.path == path, (len(a.data), single)
+
+    # mixed batch: banded + full-range merge in one dispatch
+    a, b, cm1, cm2 = cases[0]
+    p3 = _make_profile(rng, params, 2, 40)
+    p4 = _make_profile(rng, params, 3, 50)
+    rr = find_row_ranges(list(cm1), list(cm2),
+                         params.guided_alignment_radius)
+    lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+    hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+    got = dp_profile_pallas_paths(
+        params, [(a, b), (p3, p4)], interpret=True,
+        bands=[(lo, hi), None])
+    ref_g = dp_prof_prof(params, a, b, list(cm1), list(cm2))
+    path_g, total_g = _trace_path(ref_g, a.width, b.width)
+    ref_f = dp_prof_prof(params, p3, p4)
+    path_f, total_f = _trace_path(ref_f, p3.width, p4.width)
+    assert got[0].total == total_g and got[0].path == path_g
+    assert got[1].total == total_f and got[1].path == path_f
+
+
+def test_dp_pallas_guided_band_stress():
+    """Randomized stress parity for the banded kernel: the host DP keeps
+    the reference's 2-row-buffer clearing discipline (stale out-of-band
+    cells, profile_seq.cpp:623-633), the kernel masks the FULL band
+    complement to -inf.  The reference's goldens are thread-count
+    invariant even though its parallel engine rotates different buffer
+    counts (= different staleness), so observable results cannot depend
+    on out-of-band contents; this test pins that equivalence over many
+    refinement-realistic splits.  One bucket shape -> one interpret-mode
+    compile."""
+    from famsa_tpu.core.aligner import align_into
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import find_row_ranges
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_paths
+
+    rng = np.random.default_rng(61)
+    params = Params()
+    params.adjust(50)
+
+    cases = []
+    for t in range(12):
+        p1 = _make_profile(rng, params, 2 + (t % 4), 46 + (t % 3))
+        p2 = _make_profile(rng, params, 2 + ((t + 1) % 3), 50 + (t % 4))
+        dest = Profile(params)
+        align_into(dest, p1, p2, backend="numpy")
+        a, b = Profile(params), Profile(params)
+        nd = len(dest.data)
+        picks = rng.integers(0, 2, nd)
+        if picks.all() or not picks.any():
+            picks[0] = 1 - picks[0]
+        for k, gs in enumerate(dest.data):
+            (a if picks[k] else b).append_raw_sequence(gs)
+        _, cm1 = a.condense()
+        _, cm2 = b.condense()
+        a.optimize_gaps()
+        b.optimize_gaps()
+        a.calculate_counters_scores()
+        b.calculate_counters_scores()
+        # small radius -> tight bands -> many band-edge cells; the host
+        # reference below must band with the SAME radius
+        radius = 2 + (t % 3)
+        params.guided_alignment_radius = radius
+        rr = find_row_ranges(list(cm1), list(cm2), radius)
+        lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+        hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+        if len(a.data) == 1:
+            ref = dp_seq_prof(params, a, b, list(cm1), list(cm2))
+        else:
+            ref = dp_prof_prof(params, a, b, list(cm1), list(cm2))
+        cases.append((a, b, lo, hi, _trace_path(ref, a.width, b.width)))
+
+    # radius must reach the host DP too: monkey-free via explicit ranges
+    got = dp_profile_pallas_paths(
+        params, [(a, b) for a, b, *_ in cases], interpret=True,
+        bands=[(lo, hi) for _, _, lo, hi, _ in cases])
+    for (a, b, lo, hi, (path, total)), g in zip(cases, got):
+        assert g.total == total
+        assert g.path == path

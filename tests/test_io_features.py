@@ -89,3 +89,43 @@ def test_fasta_parser_matches_large_wrap(tmp_path):
     recs = load_fasta_records(str(f))
     assert [r[0] for r in recs] == [g.id for g in gs]
     assert [r[1] for r in recs] == [g.decode() for g in gs]
+
+
+def test_fasta_streaming_chunk_invariance(tmp_path, monkeypatch):
+    """The streaming reader (iter_fasta_records) must parse identically
+    for ANY chunk granularity, incl. boundaries inside ids/records, and
+    for multi-member gzip input (reference streams via
+    stream_decompression, io_service.h:84-127)."""
+    import gzip as _gz
+
+    from famsa_tpu.core import io_service
+
+    rng = np.random.default_rng(7)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    raw = bytearray(b"junk before first record\n")
+    want = []
+    for k in range(37):
+        ln = int(rng.integers(1, 200))
+        seq = "".join(aa[rng.integers(0, 20)] for _ in range(ln))
+        raw += f">rec{k} desc\n".encode()
+        for i in range(0, ln, 17):
+            raw += seq[i:i + 17].encode() + b"\n"
+        want.append((f">rec{k} desc", seq))
+    f = tmp_path / "in.fasta"
+    f.write_bytes(bytes(raw))
+
+    base = io_service.load_fasta_records(str(f))
+    assert base == want
+    for chunk in (1, 3, 64, 1000):
+        monkeypatch.setattr(io_service, "READ_CHUNK", chunk)
+        assert list(io_service.iter_fasta_records(str(f))) == want
+    monkeypatch.undo()
+
+    # multi-member gzip (like the writer's per-pack members)
+    gz = tmp_path / "in.fasta.gz"
+    half = len(raw) // 2
+    gz.write_bytes(_gz.compress(bytes(raw[:half]))
+                   + _gz.compress(bytes(raw[half:])))
+    assert io_service.load_fasta_records(str(gz)) == want
+    monkeypatch.setattr(io_service, "READ_CHUNK", 11)
+    assert list(io_service.iter_fasta_records(str(gz))) == want

@@ -73,3 +73,38 @@ def test_pallas_backend_rows_match_numpy_backend():
                                           ref.row_prefix(i, i))
     finally:
         lp.lcs_rows = orig
+
+
+def test_pallas_backend_rows_batch_matches_numpy_backend():
+    """rows_batch (FastTree seeds/assignment/CLARANS path) vs single rows."""
+    from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS
+    from famsa_tpu.ops.distance import DistanceBackend
+    from famsa_tpu.ops.lcs_pallas import PallasDistanceBackend
+
+    class Seq:
+        def __init__(self, data, length):
+            self.data = data
+            self.length = length
+            self.data_size = len(data)
+
+    rng = np.random.default_rng(5)
+    seqs = []
+    for _ in range(40):
+        l = int(rng.integers(10, 100))
+        seqs.append(Seq(rng.integers(0, 24, size=l).astype(np.int8), l))
+
+    ref = DistanceBackend(seqs, DIST_INDEL075_DIV_LCS, np.float32)
+    dev = PallasDistanceBackend(seqs, DIST_INDEL075_DIV_LCS, np.float32,
+                                block_rows=7)
+    import famsa_tpu.ops.lcs_pallas as lp
+    orig = lp.lcs_rows
+    lp.lcs_rows = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        ids = np.array([3, 0, 17, 8, 33, 39, 21, 5, 4])
+        np.testing.assert_array_equal(dev.rows_batch(ids),
+                                      ref.rows_batch(ids))
+        qids = np.array([1, 2, 30, 7])
+        np.testing.assert_array_equal(dev.rows_batch(ids, qids),
+                                      ref.rows_batch(ids, qids))
+    finally:
+        lp.lcs_rows = orig

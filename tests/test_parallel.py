@@ -210,3 +210,32 @@ def test_dp_row_sharded_matches_sequential():
     assert np.array_equal(np.asarray(gD), D)
     assert np.array_equal(np.asarray(gV), V)
     assert np.array_equal(np.asarray(gH), H)
+
+
+def test_dp_profile_sharded_paths_matches_host():
+    """Device-traceback variant (dp_profile_sharded_paths): path + total
+    must equal the host walk of the dirs-returning variant - the O(W^2)
+    dirs matrix never leaves the device."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dp_jax_parity import _make_profile
+
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import dp_prof_prof
+    from famsa_tpu.core.params import Params
+    from famsa_tpu.parallel.dp_sharded import dp_profile_sharded_paths
+
+    rng = np.random.default_rng(9)
+    params = Params()
+    params.adjust(50)
+    mesh = make_mesh(axis="cols")
+
+    # widths > 32 buckets so the tiled device traceback engages
+    for n1, n2, w1, w2 in [(3, 4, 60, 90), (2, 3, 100, 40)]:
+        p1 = _make_profile(rng, params, n1, w1)
+        p2 = _make_profile(rng, params, n2, w2)
+        ref = dp_prof_prof(params, p1, p2)
+        path, total = _trace_path(ref, p1.width, p2.width)
+        got = dp_profile_sharded_paths(params, p1, p2, mesh)
+        assert got.total == total
+        assert got.path == path

@@ -88,3 +88,40 @@ def test_fast_tree_thread_invariance(method):
         return list(tree.tree)
 
     assert build(1) == build(4)
+
+
+@pytest.mark.parametrize("method", ["parttree", "medoidtree"])
+def test_fast_tree_device_distances_parity(method, monkeypatch):
+    """FastTree with the device distance backend (seeds/assignment/CLARANS
+    sample matrix through rows_batch, reference FastTree.cpp:302-436) must
+    produce the exact host-backend tree."""
+    from famsa_tpu.core.params import Params
+    from famsa_tpu.core.sequence import Sequence
+    from famsa_tpu.pipeline import build_guide_tree
+    from famsa_tpu.tree.guide_tree import GuideTree
+
+    monkeypatch.setenv("FAMSA_TPU_FASTTREE_DEV_MIN", "16")
+
+    rng = np.random.default_rng(11)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    seqs = []
+    for k in range(300):
+        ln = int(rng.integers(40, 90))
+        seqs.append(Sequence(
+            f">s{k}", "".join(aa[rng.integers(0, 20)] for _ in range(ln)), k))
+    lmax = max(s.data_size for s in seqs)
+    for s in seqs:
+        s.resize(lmax)
+
+    def build(backend):
+        params = Params()
+        params.backend = backend
+        params.gt_heuristic = method
+        params.medoid.threshold = 50
+        params.medoid.subtree_size = 20
+        params.medoid.sample_size = 60
+        tree = GuideTree()
+        build_guide_tree(params, seqs, tree)
+        return list(tree.tree)
+
+    assert build("numpy") == build("jax")

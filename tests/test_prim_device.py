@@ -35,3 +35,34 @@ def test_prim_device_matches_host():
     mst_prim_tree_device(seqs, tree_dev)
 
     assert tree_host == tree_dev
+
+
+def test_prim_prefilter_identical_tree():
+    """The theoretical-best prefilter (reference MSTPrim.cpp:450-467) must
+    skip LCS work on heterogeneous-length families while producing the
+    byte-identical tree."""
+    from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS
+    from famsa_tpu.ops.distance import DistanceBackend
+    from famsa_tpu.tree.mst_prim import mst_prim_tree
+
+    rng = np.random.default_rng(17)
+    seqs = _random_sequences(rng, 120, 300)   # lengths 10..300
+
+    be = DistanceBackend(seqs, DIST_INDEL075_DIV_LCS, np.float64)
+    calls = {"pairs": 0}
+
+    def counting_row(ref, ids):
+        calls["pairs"] += len(ids)
+        return be.row(ref, ids)
+
+    tree_plain = []
+    mst_prim_tree(len(seqs), counting_row, tree_plain)
+    pairs_plain = calls["pairs"]
+
+    calls["pairs"] = 0
+    tree_filt = []
+    mst_prim_tree(len(seqs), counting_row, tree_filt,
+                  lengths=[s.length for s in seqs],
+                  measure=DIST_INDEL075_DIV_LCS)
+    assert tree_filt == tree_plain
+    assert calls["pairs"] < pairs_plain   # LCS work actually skipped
