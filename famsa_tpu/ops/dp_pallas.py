@@ -1244,6 +1244,10 @@ def _assemble_side(pairs, dev_pairs, n, b, side, wp):
         else:
             misc.append((k, d))
 
+    if misc and len(misc) == b:
+        # all sides are plain resident arrays (e.g. bench steady state):
+        # one concatenate, no base tensor
+        return jnp.stack([row for _, row in misc])
     if host_c is not None:
         out = jnp.asarray(host_c).astype(jnp.int32)
     else:
@@ -1255,8 +1259,9 @@ def _assemble_side(pairs, dev_pairs, n, b, side, wp):
     for batch, src, mask in groups.values():
         got = batch[jnp.asarray(src), :wp + 1]
         out = jnp.where(jnp.asarray(mask)[:, None, None], got, out)
-    for k, row in misc:
-        out = out.at[k].set(row)
+    if misc:
+        idx = np.array([k for k, _ in misc])
+        out = out.at[idx].set(jnp.stack([row for _, row in misc]))
     return out
 
 
