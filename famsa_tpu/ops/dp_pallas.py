@@ -158,9 +158,17 @@ def _k_pmul_u32(c, x):
     return (c * hi + hi_mul, lo_out)
 
 
-def _make_kernel(sb, blk, w2pe, single=False, banded=False):
-    def kernel(w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, colf_ref, rowf_ref,
-               s2_ref, c1_ref, dirs_ref, fin_ref, prev_ref):
+def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
+    def kernel(*refs):
+        if mxu:
+            # match-score matrix precomputed on the MXU (_mxu_tb): the
+            # kernel streams tb row blocks instead of holding the s2
+            # plane stack + c1 counters and re-deriving it on the VPU
+            (w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, colf_ref, rowf_ref,
+             tb_ref, dirs_ref, fin_ref, prev_ref) = refs
+        else:
+            (w1m1_ref, h0hi_ref, h0lo_ref, lastm_ref, colf_ref, rowf_ref,
+             s2_ref, c1_ref, dirs_ref, fin_ref, prev_ref) = refs
         i = pl.program_id(1)
         # lane-cumsums of the ghc column factors (lane0-zeroed p2e / p2te):
         # bc_row = g1ce[r] * cumE + g1cte[r] * cumT replaces the log-depth
@@ -238,9 +246,13 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False):
             blo_b, bhi_b = (rb(k) for k in _BAND_PLANES[single])
 
         if single:
-            tb = c1_ref[0, :, :, 0:1] * s2_ref[0, 0, :, :][None]
-            for s in range(1, NO_AMINOACIDS_AND_GAPS):
-                tb = tb + c1_ref[0, :, :, s:s + 1] * s2_ref[0, s, :, :][None]
+            if mxu:
+                tb = tb_ref[0, :, :, :]
+            else:
+                tb = c1_ref[0, :, :, 0:1] * s2_ref[0, 0, :, :][None]
+                for s in range(1, NO_AMINOACIDS_AND_GAPS):
+                    tb = tb + c1_ref[0, :, :, s:s + 1] \
+                        * s2_ref[0, s, :, :][None]
             tmHb1 = tb + rb(11) * dE_c[None] + rb(12) * dT_c[None]
             tmVb1 = tb + rb(13) * g2chg_c[None]
             gvsb1 = (rb(2) * g2so_c[None] + rb(3) * g2se_c[None]
@@ -509,9 +521,11 @@ def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
     return w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk
 
 
-def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
-                w1p, w2p, interpret=False, single=False, banded=False):
-    """The Mosaic row-loop kernel over O(W) factor tensors."""
+def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk,
+                w1p, w2p, interpret=False, single=False, banded=False,
+                mxu=False):
+    """The Mosaic row-loop kernel over O(W) factor tensors.  mats is
+    (s2stk, c1stk) in MAC mode or (tbstk,) in MXU mode."""
     w2pe = w2p + LANE_PAD
     g = h0hi.shape[0]
     grid = (g, w1p // blk)
@@ -529,11 +543,17 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
            lambda b, i: (b, z0, z0, z0)),                      # colf
         bm((1, blk, sb, rowf.shape[3]),
            lambda b, i: (b, i, z0, z0)),                       # rowf
-        bm((1, s2stk.shape[1], sb, w2pe),
-           lambda b, i: (b, z0, z0, z0)),                      # s2stk
-        bm((1, blk, sb, c1stk.shape[3]),
-           lambda b, i: (b, i, z0, z0)),                       # c1stk
     ]
+    if mxu:
+        in_specs.append(
+            bm((1, blk, sb, w2pe), lambda b, i: (b, i, z0, z0)))  # tbstk
+    else:
+        in_specs += [
+            bm((1, mats[0].shape[1], sb, w2pe),
+               lambda b, i: (b, z0, z0, z0)),                     # s2stk
+            bm((1, blk, sb, mats[1].shape[3]),
+               lambda b, i: (b, i, z0, z0)),                      # c1stk
+        ]
 
     out_shape = [
         jax.ShapeDtypeStruct((g, w1p, sb, w2pe), jnp.int32),   # dirs
@@ -545,25 +565,77 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk, sb, blk,
     ]
 
     dirs_i32, fins = pl.pallas_call(
-        _make_kernel(sb, blk, w2pe, single=single, banded=banded),
+        _make_kernel(sb, blk, w2pe, single=single, banded=banded, mxu=mxu),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((6 * sb, w2pe), jnp.int32)],
         interpret=interpret,
-    )(w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk)
+    )(w1m1, h0hi, h0lo, lastm, colf, rowf, *mats)
     return dirs_i32, fins
 
 
+def _mxu_tb(c1, s2, cfg):
+    """Match-score matrix on the MXU: tb[b, r, j] = sum_s c1[b, r+1, s] *
+    s2[b, j, s] (the reference inner loop, profile_seq.cpp:698-712),
+    as batched int8 limb matmuls.
+
+    cfg = (l1, l2, b2log), static: counts decompose into l1 7-bit limbs
+    (card < 2^(7*l1)); scores are biased non-negative by B2 = 2^b2log
+    (valid when |s2| < B2) and decompose into l2 limbs.  Every partial
+    dot is <= 30 * 127 * 127 < 2^19 (exact in i32 - and exact even if the
+    backend runs the contraction in f32: < 2^24); shifts/adds wrap mod
+    2^32; the bias correction B2 * rowsum(c1) restores the true value,
+    which the single-word bound guarantees fits i32.
+
+    c1 [B, w1p, S] i32 (stage-0 masked counters, rows 1..w1p),
+    s2 [B, w2pe, S] i32 score planes.  Returns [B, w1p, w2pe] i32."""
+    l1, l2, b2log = cfg
+    b2 = 1 << b2log
+    rowsum = c1.sum(axis=2, dtype=jnp.int32)            # card per true row
+    # canonical batched-matmul layout [B, S, w2pe]; the contraction runs
+    # as bf16 x bf16 -> f32 on the MXU: limb values < 128 are exact in
+    # bf16, every partial sum <= 30 * 127 * 127 < 2^24 is exact in the
+    # f32 accumulator, so the i32 round-trip is lossless
+    s2b = jnp.swapaxes(s2, 1, 2).astype(jnp.int32) + jnp.int32(b2)
+    c1 = c1.astype(jnp.int32)
+
+    def limbs(x, n):
+        return [((x >> (7 * k)) & 127).astype(jnp.bfloat16)
+                for k in range(n)]
+
+    a = limbs(c1, l1)
+    b = limbs(s2b, l2)
+    tb = None
+    for i in range(l1):
+        for j in range(l2):
+            sh = 7 * (i + j)
+            if sh >= 32:
+                continue
+            d = jax.lax.dot_general(
+                a[i], b[j],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)     # [B, w1p, w2pe]
+            d = d.astype(jnp.int32) << sh
+            tb = d if tb is None else tb + d
+    return tb - rowsum[:, :, None] * jnp.int32(b2)
+
+
 def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
-                   single=False, banded=False):
+                   single=False, banded=False, tb=None):
     """Input packing + kernel; returns the raw kernel outputs
     (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
-    Traced inside the jitted wrappers below."""
-    packed = _pack_kernel_inputs(colp, xs, w1p, w2p, single)
-    return _run_kernel(*packed, sb, blk, w1p, w2p, interpret=interpret,
-                       single=single, banded=banded)
+    Traced inside the jitted wrappers below.  tb: optional MXU-computed
+    match-score stack [G, w1p, sb, w2pe] i32 (replaces the in-kernel
+    30-term MAC; the unused s2/c1 stacks are dead code the compiler
+    drops)."""
+    w1m1, h0hi, h0lo, lastm, colf, rowf, s2stk, c1stk = \
+        _pack_kernel_inputs(colp, xs, w1p, w2p, single)
+    mats = (tb,) if tb is not None else (s2stk, c1stk)
+    return _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats,
+                       sb, blk, w1p, w2p, interpret=interpret,
+                       single=single, banded=banded, mxu=tb is not None)
 
 
 @functools.partial(jax.jit,
@@ -867,7 +939,7 @@ def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
 
 def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, banded=False,
              interpret=False,
-             single=False):
+             single=False, tb=None):
     """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
     true widths.  Returns a packed i32 array [B, S/16 + 3]
     (emit words..., dir0, total_hi, total_lo).  Direction matrices never
@@ -877,7 +949,7 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, banded=False,
     b = g * sb
 
     dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret,
-                                    single, banded=banded)
+                                    single, banded=banded, tb=tb)
     # [G, w1p, sb, w2pe] -> [B, w1p, w2pe]
     dirs_m = dirs_i32.transpose(0, 2, 1, 3).reshape(b, w1p, w2pe)
 
@@ -940,7 +1012,7 @@ def _forward_paths(emits, dir0):
 
 def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                       sb, blk, w1p, w2p, interpret, single, merged=False,
-                      blo=None, bhi=None):
+                      blo=None, bhi=None, mxu=None):
     b = c1s.shape[0]
     g = b // sb
 
@@ -950,6 +1022,10 @@ def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
         return _stage0_one(c1, c2, w1, w2, k1, k2, sm, gp, w1p, w2p, it)
 
     colp, xs = jax.vmap(one)(c1s, c2s, w1v, w2v, card1v, card2v)
+    tb = None
+    if mxu is not None:
+        tb_b = _mxu_tb(xs["c1"], colp["s2"], mxu)       # [B, w1p, w2pe]
+        tb = tb_b.reshape(g, sb, w1p, tb_b.shape[2]).transpose(0, 2, 1, 3)
     banded = blo is not None
     if banded:
         # host-provided guided bands override stage 0's full-range default
@@ -959,7 +1035,7 @@ def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
     xs = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in xs.items()}
     packed, emits, dir0 = _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p,
                                    banded=banded, interpret=interpret,
-                                   single=single)
+                                   single=single, tb=tb)
     if not merged:
         return packed
     # device-resident result: merged counters from parents + forward path
@@ -970,10 +1046,11 @@ def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
-                                             "interpret", "single", "merged"))
+                                             "interpret", "single", "merged",
+                                             "mxu"))
 def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                            sb, blk, w1p, w2p, interpret=False, single=False,
-                           merged=False, blo=None, bhi=None):
+                           merged=False, blo=None, bhi=None, mxu=None):
     """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
     dtype, host OR device-resident), w1v/w2v/card1v/card2v [B] i32,
     sm [24,24] i64, gp static gap costs.  Stage 0 (scores, gap corrections,
@@ -982,7 +1059,7 @@ def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
     merge reads them without any host upload)."""
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                              sb, blk, w1p, w2p, interpret, single, merged,
-                             blo=blo, bhi=bhi)
+                             blo=blo, bhi=bhi, mxu=mxu)
 
 
 def _csc_dense(counts, syms, vals, wp):
@@ -1004,11 +1081,12 @@ def _csc_dense(counts, syms, vals, wp):
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
-                                             "interpret", "single", "merged"))
+                                             "interpret", "single", "merged",
+                                             "mxu"))
 def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
                       card1v, card2v, sm, gp, sb, blk, w1p, w2p,
                       interpret=False, single=False, merged=False,
-                      blo=None, bhi=None):
+                      blo=None, bhi=None, mxu=None):
     """Compact-upload variant: a profile column holds a handful of distinct
     symbols, so the host ships per-column nonzero counts (i8) + symbol ids
     (i8) + count values (i8/i16) instead of the dense [w, 32] tensor - the
@@ -1018,7 +1096,7 @@ def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
     c2s = _csc_dense(cnt2, sym2, val2, w2p)
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                              sb, blk, w1p, w2p, interpret, single, merged,
-                             blo=blo, bhi=bhi)
+                             blo=blo, bhi=bhi, mxu=mxu)
 
 
 def _csc_pack(pairs, n, b, side, wp):
@@ -1146,6 +1224,28 @@ def _single_word_ok(params, pairs):
     fits i32 (data-driven per-merge bounds; see _merge_i32_bound)."""
     return all(_merge_i32_bound(params, p1, p2) < 2 ** 31
                for p1, p2 in pairs)
+
+
+_MXU_OFF = _os.environ.get("FAMSA_TPU_DP_MXU", "1") != "1"
+
+
+def _mxu_cfg(pairs):
+    """Static (l1, l2, b2log) for _mxu_tb, or None when the limb budget
+    doesn't cover the batch: counts need l1 <= 2 7-bit limbs (card <
+    16384), biased scores l2 <= 4 (|s2| < 2^27).  b2log is quantized to
+    {6, 13, 20, 27} to bound the number of compiled variants."""
+    if _MXU_OFF:
+        return None
+    maxcard = max(len(p1.data) for p1, _ in pairs)
+    l1 = 1 if maxcard < 128 else 2 if maxcard < 16384 else None
+    if l1 is None:
+        return None
+    m2s = max(int(np.abs(p2.scores[:, :NO_AMINOACIDS_AND_GAPS]).max())
+              for _, p2 in pairs)
+    for b2log in (6, 13, 20, 27):
+        if m2s < (1 << b2log):
+            return (l1, (b2log + 1) // 7, b2log)
+    return None
 
 
 class PendingPaths:
@@ -1296,6 +1396,8 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     g = (n + sb - 1) // sb
     b = g * sb
 
+    mxu = _mxu_cfg(pairs) if single else None
+
     blo = bhi = None
     if bands is not None and any(bd is not None for bd in bands):
         blo_np = np.zeros((b, w1p), np.int32)
@@ -1333,7 +1435,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
         packed = _dp_pallas_tb_counters(
             c1s, c2s, *common, gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single, merged=want_merged,
-            blo=blo, bhi=bhi)
+            blo=blo, bhi=bhi, mxu=mxu)
         if want_merged:
             packed, mc = packed
             return PendingPaths(packed, n, mc)
@@ -1354,7 +1456,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single, merged=want_merged,
-            blo=blo, bhi=bhi)
+            blo=blo, bhi=bhi, mxu=mxu)
     else:
         # pack straight into the upload dtype (counts <= card)
         maxc = int(max(k1v.max(), k2v.max()))
@@ -1371,7 +1473,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             jnp.asarray(c1s), jnp.asarray(c2s), *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single, merged=want_merged,
-            blo=blo, bhi=bhi)
+            blo=blo, bhi=bhi, mxu=mxu)
     if want_merged:
         packed, mc = out
         return PendingPaths(packed, n, mc)

@@ -384,3 +384,64 @@ def test_dp_pallas_guided_band_stress():
     for (a, b, lo, hi, (path, total)), g in zip(cases, got):
         assert g.total == total
         assert g.path == path
+
+
+def test_dp_pallas_mxu_limbs():
+    """MXU match-score path (_mxu_tb int8 limb matmuls) at two-limb
+    counts (card >= 128) and with guided bands; parity vs the host DP."""
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.ops.dp_jax import dp_profile_jax
+    from famsa_tpu.ops.dp_pallas import _mxu_cfg, dp_profile_pallas_paths
+
+    rng = np.random.default_rng(71)
+    params = Params()
+    params.adjust(200)
+
+    p1 = _make_profile(rng, params, 150, 40)    # card 150 -> l1 = 2
+    p2 = _make_profile(rng, params, 130, 50)
+    cfg = _mxu_cfg([(p1, p2)])
+    assert cfg is not None and cfg[0] == 2
+    got = dp_profile_pallas_paths(params, [(p1, p2)], interpret=True,
+                                  single=True)[0]
+    ref = dp_profile_jax(params, p1, p2)
+    path, total = _trace_path(ref, p1.width, p2.width)
+    assert got.total == total
+    assert got.path == path
+
+
+def test_dp_pallas_mxu_guided():
+    """Guided band + MXU match-score together (the refinement dispatch on
+    hardware)."""
+    from famsa_tpu.core.aligner import align_into
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import find_row_ranges
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.ops.dp_pallas import dp_profile_pallas_paths
+
+    rng = np.random.default_rng(73)
+    params = Params()
+    params.adjust(50)
+    p1 = _make_profile(rng, params, 3, 40)
+    p2 = _make_profile(rng, params, 4, 50)
+    dest = Profile(params)
+    align_into(dest, p1, p2, backend="numpy")
+    a, b = Profile(params), Profile(params)
+    for k, gs in enumerate(dest.data):
+        (a if k % 2 else b).append_raw_sequence(gs)
+    _, cm1 = a.condense()
+    _, cm2 = b.condense()
+    a.optimize_gaps()
+    b.optimize_gaps()
+    a.calculate_counters_scores()
+    b.calculate_counters_scores()
+
+    ref = dp_prof_prof(params, a, b, list(cm1), list(cm2))
+    path, total = _trace_path(ref, a.width, b.width)
+    rr = find_row_ranges(list(cm1), list(cm2),
+                         params.guided_alignment_radius)
+    lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+    hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+    got = dp_profile_pallas_paths(params, [(a, b)], interpret=True,
+                                  single=True, bands=[(lo, hi)])[0]
+    assert got.total == total
+    assert got.path == path
