@@ -108,20 +108,25 @@ def main():
         # merged_counters_device); only the O(W) paths leave the device.
         import jax.numpy as jnp
 
-        from famsa_tpu.ops.dp_pallas import (_pallas_bucket as _bucket,
+        from famsa_tpu.ops.dp_pallas import (MergedRef,
+                                             _pallas_bucket as _bucket,
                                              dp_profile_pallas_paths_async)
 
         def _make_dev(pairs):
+            # one stacked tensor per side + MergedRef views, exactly the
+            # steady-state shape the pipeline's resolve() hands out (the
+            # dispatch then needs ONE gather, not an eager per-merge stack)
             w1p = max(_bucket(p1.width) for p1, _ in pairs)
             w2p = max(_bucket(p2.width) for _, p2 in pairs)
-            dev = []
-            for p1, p2 in pairs:
-                c1 = np.zeros((w1p + 1, 32), np.int32)
-                c2 = np.zeros((w2p + 1, 32), np.int32)
-                c1[:p1.width + 1] = p1.counters
-                c2[:p2.width + 1] = p2.counters
-                dev.append((jnp.asarray(c1), jnp.asarray(c2)))
-            return dev
+            c1s = np.zeros((len(pairs), w1p + 1, 32), np.int32)
+            c2s = np.zeros((len(pairs), w2p + 1, 32), np.int32)
+            for k, (p1, p2) in enumerate(pairs):
+                c1s[k, :p1.width + 1] = p1.counters
+                c2s[k, :p2.width + 1] = p2.counters
+            d1, d2 = jnp.asarray(c1s), jnp.asarray(c2s)
+            return [(MergedRef(d1, k, p1.width + 1),
+                     MergedRef(d2, k, p2.width + 1))
+                    for k, (p1, p2) in enumerate(pairs)]
 
         _dev_pairs = None
 

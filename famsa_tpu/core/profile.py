@@ -16,7 +16,7 @@ from .sequence import GappedSequence
 
 class Profile:
     __slots__ = ("params", "data", "counters", "scores", "width",
-                 "total_score", "dev_counters")
+                 "total_score", "dev_counters", "_dp_stats")
 
     def __init__(self, params):
         self.params = params
@@ -29,6 +29,9 @@ class Profile:
         # maintained by the pipeline's pallas path: merges read it instead
         # of re-uploading counters (ops/dp_pallas.py:merged_counters_device)
         self.dev_counters = None
+        # magnitude-statistics cache for the DP dispatch bounds
+        # (ops/dp_pallas.py:_profile_bound_stats)
+        self._dp_stats = None
 
     @classmethod
     def from_gapped_sequence(cls, gs: GappedSequence, params):

@@ -91,10 +91,11 @@ def _row_block(sb, w2pe, single=True):
     constraint; the static row unroll's code size is (rows are unrolled
     in the kernel body; dynamic row indexing into VMEM lowers
     pathologically on Mosaic)."""
-    fixed = ((30 if single else 60) + _COLF_P[single] + 3 + 6) \
+    fixed = ((30 if single else 60) + _COLF_P[single] + 3 + 12) \
         * sb * w2pe * 4
     per_row = (w2pe + 8 + 32 + _ROWF_K[single]) * sb * 4 * 2 \
-        + (9 if single else 16) * w2pe * sb * 4     # block cost temporaries
+        + (9 if single else 16) * w2pe * sb * 4 \
+        + 6 * w2pe * sb * 4     # block cost temporaries + saved channels
     for blk in (8, 4, 2, 1):
         if fixed + blk * per_row <= 24 * 1024 * 1024:
             return blk
@@ -158,7 +159,29 @@ def _k_pmul_u32(c, x):
     return (c * hi + hi_mul, lo_out)
 
 
-def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
+def _k_pmul_u16(c, x):
+    """_k_pmul_u32 specialized to 0 <= c < 2^16: the a1 partial products
+    vanish (products still wrap mod 2^32 exactly like the generic path)."""
+    hi, lo = x
+    m16 = jnp.int32(0xFFFF)
+    b0 = lo & m16
+    b1 = _k_srl(lo, 16)
+    p00 = c * b0
+    p01 = c * b1
+    mid = _k_srl(p00, 16) + (p01 & m16)
+    lo_out = (mid << 16) | (p00 & m16)
+    hi_mul = _k_srl(p01, 16) + _k_srl(mid, 16)
+    return (c * hi + hi_mul, lo_out)
+
+
+def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False,
+                 fin0=0, smallc=False):
+    """fin0: first grid step that computes last-column finals (statically
+    known: finals are only read at row w1-1 per merge, so steps before
+    (min(w1)-1)//blk skip the 6 masked lane reduces per row).  smallc:
+    every in-kernel count factor < 2^16 (u16 pair multiplies)."""
+    pm = _k_pmul_u16 if smallc else _k_pmul_u32
+
     def kernel(*refs):
         if mxu:
             # match-score matrix precomputed on the MXU (_mxu_tb): the
@@ -215,19 +238,27 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
         @pl.when(i == 0)
         def _():
             z = jnp.zeros((sb, w2pe), jnp.int32)  # i32 everywhere: Mosaic has no s64
-            prev_ref[0:sb, :] = jnp.where(lane == 0, z, neg[0])
-            prev_ref[sb:2 * sb, :] = jnp.where(lane == 0, z, neg[1])
-            prev_ref[2 * sb:3 * sb, :] = h0hi_ref[0, :, :]
-            prev_ref[3 * sb:4 * sb, :] = h0lo_ref[0, :, :]
-            prev_ref[4 * sb:5 * sb, :] = neg[0]
-            prev_ref[5 * sb:6 * sb, :] = neg[1]
+            pD0 = (jnp.where(lane == 0, z, neg[0]),
+                   jnp.where(lane == 0, z, neg[1]))
+            pH0 = (h0hi_ref[0, :, :], h0lo_ref[0, :, :])
+            for ci, ch in enumerate((pD0, pH0, neg)):
+                prev_ref[2 * ci * sb:(2 * ci + 1) * sb, :] = ch[0]
+                prev_ref[(2 * ci + 1) * sb:(2 * ci + 2) * sb, :] = ch[1]
+            # shifted halo planes (lane j <- j-1), carried alongside so
+            # each row shifts D/H/V once instead of twice
+            for ci, ch in enumerate((shf(pD0), shf(pH0), shf(neg))):
+                base = (6 + 2 * ci) * sb
+                prev_ref[base:base + sb, :] = ch[0]
+                prev_ref[base + sb:base + 2 * sb, :] = ch[1]
 
         w1m1 = w1m1_ref[0, :, :].reshape(sb, 1)       # per-merge true w1-1
         lastm = lastm_ref[0, :, :] != 0
 
-        carry0 = ((prev_ref[0:sb, :], prev_ref[sb:2 * sb, :]),
-                  (prev_ref[2 * sb:3 * sb, :], prev_ref[3 * sb:4 * sb, :]),
-                  (prev_ref[4 * sb:5 * sb, :], prev_ref[5 * sb:6 * sb, :]))
+        def _ld(ci):
+            return (prev_ref[2 * ci * sb:(2 * ci + 1) * sb, :],
+                    prev_ref[(2 * ci + 1) * sb:(2 * ci + 2) * sb, :])
+
+        carry0 = ((_ld(0), _ld(1), _ld(2)), (_ld(3), _ld(4), _ld(5)))
 
         # ---- block prologue: every per-cell cost term for this row block
         # as VMEM temporaries [blk, sb, w2pe] (one fused op set per block
@@ -274,37 +305,37 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
             def colp3(x):
                 return (x[0][None], x[1][None])
 
-            tb = _k_pmul_u32(c1_ref[0, :, :, 0:1], s2p(0))
+            tb = pm(c1_ref[0, :, :, 0:1], s2p(0))
             for s in range(1, NO_AMINOACIDS_AND_GAPS):
-                tb = p_add(tb, _k_pmul_u32(c1_ref[0, :, :, s:s + 1], s2p(s)))
-            tmHb = p_add(tb, p_add(_k_pmul_u32(rb(16), colp3(dE_p)),
-                                   _k_pmul_u32(rb(17), colp3(dT_p))))
-            tmVb = p_add(tb, _k_pmul_u32(rb(18), colp3(g2chg_p)))
+                tb = p_add(tb, pm(c1_ref[0, :, :, s:s + 1], s2p(s)))
+            tmHb = p_add(tb, p_add(pm(rb(16), colp3(dE_p)),
+                                   pm(rb(17), colp3(dT_p))))
+            tmVb = p_add(tb, pm(rb(18), colp3(g2chg_p)))
             gvsb = p_add(
-                p_add(_k_pmul_u32(g2so_c[None], rbp(2)),
-                      _k_pmul_u32(g2se_c[None], rbp(4))),
-                p_add(_k_pmul_u32(g2sto_c[None], rbp(6)),
-                      _k_pmul_u32(g2ste_c[None], rbp(8))))
-            gvcb0 = p_add(_k_pmul_u32(g2ce_c[None], rbp(4)),
-                          _k_pmul_u32(g2cte_c[None], rbp(8)))
+                p_add(pm(g2so_c[None], rbp(2)),
+                      pm(g2se_c[None], rbp(4))),
+                p_add(pm(g2sto_c[None], rbp(6)),
+                      pm(g2ste_c[None], rbp(8))))
+            gvcb0 = p_add(pm(g2ce_c[None], rbp(4)),
+                          pm(g2cte_c[None], rbp(8)))
             gvcb = p_where(lane0_3, rbp(10), gvcb0)
-            ghsb = p_add(p_add(_k_pmul_u32(rb(12), colp3(p2o_p)),
-                               _k_pmul_u32(rb(13), colp3(p2e_p))),
-                         p_add(_k_pmul_u32(rb(14), colp3(p2to_p)),
-                               _k_pmul_u32(rb(15), colp3(p2te_p))))
-            ghcb0 = p_add(_k_pmul_u32(rb(0), colp3(p2e_p)),
-                          _k_pmul_u32(rb(1), colp3(p2te_p)))
+            ghsb = p_add(p_add(pm(rb(12), colp3(p2o_p)),
+                               pm(rb(13), colp3(p2e_p))),
+                         p_add(pm(rb(14), colp3(p2to_p)),
+                               pm(rb(15), colp3(p2te_p))))
+            ghcb0 = p_add(pm(rb(0), colp3(p2e_p)),
+                          pm(rb(1), colp3(p2te_p)))
             z3 = jnp.int32(0)
             ghcb = (jnp.where(lane0_3, z3, ghcb0[0]),
                     jnp.where(lane0_3, z3, ghcb0[1]))
         # bc rows for the H-channel scan trick, blockified
-        bcb = p_add(_k_pmul_u32(rb(0), (cumE[0][None], cumE[1][None])),
-                    _k_pmul_u32(rb(1), (cumT[0][None], cumT[1][None])))
+        bcb = p_add(pm(rb(0), (cumE[0][None], cumE[1][None])),
+                    pm(rb(1), (cumT[0][None], cumT[1][None])))
 
         def row_body(r, carry):
             # r is a STATIC Python int: all VMEM indexing below is static
             # (dynamic sublane indexing lowers to selects on Mosaic).
-            pD, pH, pV = carry
+            (pD, pH, pV), (pDs, pHs, pVs) = carry
             glob_r = i * np.int32(blk) + np.int32(r)
 
             def sx(lo):
@@ -326,11 +357,11 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
                 tmD, tmH, tmV = at(tb), at(tmHb), at(tmVb)
                 gvs, gvc, ghs, ghc = at(gvsb), at(gvcb), at(ghsb), at(ghcb)
 
-            # ---- D channel (previous row, col j-1) ----
-            hD, hH, hV = shf(pD), shf(pH), shf(pV)
-            tDd = p_add(hD, tmD)
-            tHd = p_add(hH, tmH)
-            tVd = p_add(hV, tmV)
+            # ---- D channel (previous row, col j-1: the carried shifted
+            # halo planes - each channel is shifted ONCE, when produced) --
+            tDd = p_add(pDs, tmD)
+            tHd = p_add(pHs, tmH)
+            tVd = p_add(pVs, tmV)
             pickD = p_gt(tDd, tHd) & p_gt(tDd, tVd)
             pickH = (~pickD) & p_gt(tHd, tVd)
             D = p_where(pickD, tDd, p_where(pickH, tHd, tVd))
@@ -342,17 +373,21 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
 
             three = (glob_r >= 1) & (lane >= 2)
 
-            # ---- V channel (previous row, same col) ----
+            # ---- V channel (previous row, same col).  The D-vs-H pick
+            # runs on the post-add values (wrap semantics identical to the
+            # host DP); max(tDv, tHv) then races tVv - decision-for-
+            # decision the same tree as the old pickD3/pickH3 chain, one
+            # p_gt cheaper, and the 2-dir region folds in via gDH2 (there
+            # mDHv IS tDv, so the pickD2 compare comes out identical)
             tDv = p_add(pD, gvs)
-            tVv = p_add(pV, gvc)
             tHv = p_add(pH, gvs)
-            pickD3 = p_gt(tDv, tHv) & p_gt(tDv, tVv)
-            pickH3 = (~pickD3) & p_gt(tHv, tVv)
-            v3 = p_where(pickD3, tDv, p_where(pickH3, tHv, tVv))
-            d3 = jnp.where(pickD3, c_D, jnp.where(pickH3, c_H, c_V))
-            pickD2 = p_gt(tDv, tVv)
-            V = p_where(three, v3, p_where(pickD2, tDv, tVv))
-            dV = jnp.where(three, d3, jnp.where(pickD2, c_D, c_V))
+            tVv = p_add(pV, gvc)
+            gDH = p_gt(tDv, tHv)
+            gDH2 = gDH | (~three)
+            mDHv = p_where(gDH2, tDv, tHv)
+            gDV = p_gt(mDHv, tVv)
+            V = p_where(gDV, mDHv, tVv)
+            dV = jnp.where(gDV, jnp.where(gDH2, c_D, c_H), c_V)
 
             # col-0 boundary: V0 = max(pD0, pV0) + v0_cost while row+1 < w1
             # (v0_cost rides in lane 0 of gvc, which is dead otherwise)
@@ -364,8 +399,10 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
                 V = p_where(inb | (lane == 0), V, neg)
 
             # ---- H channel: max-plus prefix scan along the row ----
-            mD = p_add(shf(D), ghs)
-            mV = p_add(shf(V), ghs)
+            Ds = shf(D)
+            Vs = shf(V)
+            mD = p_add(Ds, ghs)
+            mV = p_add(Vs, ghs)
             m = p_where(three, p_max(mD, mV), mD)
             bc = (bcb[0][r], bcb[1][r])
             run = p_cummax(p_sub(m, bc))
@@ -373,8 +410,9 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
             H = p_where(lane == 0, neg, H)
             if banded:
                 H = p_where(inb, H, neg)
+            Hs = shf(H)
 
-            tHh2 = p_add(shf(H), ghc)
+            tHh2 = p_add(Hs, ghc)
             pickD3h = p_gt(mD, tHh2) & p_gt(mD, mV)
             pickV3h = (~pickD3h) & p_gt(mV, tHh2)
             h3 = jnp.where(pickD3h, c_D, jnp.where(pickV3h, c_V, c_H))
@@ -383,35 +421,46 @@ def _make_kernel(sb, blk, w2pe, single=False, banded=False, mxu=False):
             packed = dD | (dH << 2) | (dV << 4)
             packed = jnp.where(lane == 0, jnp.int32(COL0_PACK), packed)
             dirs_ref[0, r, :, :] = packed
-
-            # last-column (col w2 per merge) values for this row
-            def pick(ch):
-                return (jnp.sum(jnp.where(lastm, ch[0], jnp.int32(0)), axis=1,
-                                dtype=jnp.int32),
-                        jnp.sum(jnp.where(lastm, ch[1], jnp.int32(0)), axis=1,
-                                dtype=jnp.int32))
-
-            fD, fH, fV = pick(D), pick(H), pick(V)
-            z32 = jnp.int32(0)
-            fin = (jnp.where(fin_col == 0, fD[0][:, None], z32)
-                   + jnp.where(fin_col == 1, fD[1][:, None], z32)
-                   + jnp.where(fin_col == 2, fH[0][:, None], z32)
-                   + jnp.where(fin_col == 3, fH[1][:, None], z32)
-                   + jnp.where(fin_col == 4, fV[0][:, None], z32)
-                   + jnp.where(fin_col == 5, fV[1][:, None], z32))
-            fin_ref[0, r, :, :] = fin
-            return (D, H, V)
+            return ((D, H, V), (Ds, Hs, Vs))
 
         carry = carry0
+        saved = []
         for r in range(blk):
             carry = row_body(r, carry)
-        D, H, V = carry
-        prev_ref[0:sb, :] = D[0]
-        prev_ref[sb:2 * sb, :] = D[1]
-        prev_ref[2 * sb:3 * sb, :] = H[0]
-        prev_ref[3 * sb:4 * sb, :] = H[1]
-        prev_ref[4 * sb:5 * sb, :] = V[0]
-        prev_ref[5 * sb:6 * sb, :] = V[1]
+            saved.append(carry[0])
+        (D, H, V), (Ds, Hs, Vs) = carry
+        for ci, ch in enumerate((D, H, V, Ds, Hs, Vs)):
+            prev_ref[2 * ci * sb:(2 * ci + 1) * sb, :] = ch[0]
+            prev_ref[(2 * ci + 1) * sb:(2 * ci + 2) * sb, :] = ch[1]
+
+        # last-column (col w2 per merge) values, only on grid steps that
+        # can contain some merge's final row (i >= fin0)
+        def fin_rows():
+            z32 = jnp.int32(0)
+            for r in range(blk):
+                Dr, Hr, Vr = saved[r]
+
+                def pick(ch):
+                    return (jnp.sum(jnp.where(lastm, ch[0], z32), axis=1,
+                                    dtype=jnp.int32),
+                            jnp.sum(jnp.where(lastm, ch[1], z32), axis=1,
+                                    dtype=jnp.int32))
+
+                fD, fH, fV = pick(Dr), pick(Hr), pick(Vr)
+                fin = (jnp.where(fin_col == 0, fD[0][:, None], z32)
+                       + jnp.where(fin_col == 1, fD[1][:, None], z32)
+                       + jnp.where(fin_col == 2, fH[0][:, None], z32)
+                       + jnp.where(fin_col == 3, fH[1][:, None], z32)
+                       + jnp.where(fin_col == 4, fV[0][:, None], z32)
+                       + jnp.where(fin_col == 5, fV[1][:, None], z32))
+                fin_ref[0, r, :, :] = fin
+
+        if fin0 > 0:
+            @pl.when(i >= fin0)
+            def _():
+                fin_rows()
+        else:
+            fin_rows()
 
     return kernel
 
@@ -523,7 +572,7 @@ def _pack_kernel_inputs(colp, xs, w1p, w2p, single):
 
 def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk,
                 w1p, w2p, interpret=False, single=False, banded=False,
-                mxu=False):
+                mxu=False, fin0=0, smallc=False):
     """The Mosaic row-loop kernel over O(W) factor tensors.  mats is
     (s2stk, c1stk) in MAC mode or (tbstk,) in MXU mode."""
     w2pe = w2p + LANE_PAD
@@ -565,12 +614,13 @@ def _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats, sb, blk,
     ]
 
     dirs_i32, fins = pl.pallas_call(
-        _make_kernel(sb, blk, w2pe, single=single, banded=banded, mxu=mxu),
+        _make_kernel(sb, blk, w2pe, single=single, banded=banded, mxu=mxu,
+                     fin0=fin0, smallc=smallc),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((6 * sb, w2pe), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((12 * sb, w2pe), jnp.int32)],
         interpret=interpret,
     )(w1m1, h0hi, h0lo, lastm, colf, rowf, *mats)
     return dirs_i32, fins
@@ -623,7 +673,8 @@ def _mxu_tb(c1, s2, cfg):
 
 
 def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
-                   single=False, banded=False, tb=None):
+                   single=False, banded=False, tb=None, fin0=0,
+                   smallc=False):
     """Input packing + kernel; returns the raw kernel outputs
     (dirs i32 [G, w1p, sb, w2pe], finals i32 [G, w1p, sb, 8]).
     Traced inside the jitted wrappers below.  tb: optional MXU-computed
@@ -635,7 +686,8 @@ def _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret=False,
     mats = (tb,) if tb is not None else (s2stk, c1stk)
     return _run_kernel(w1m1, h0hi, h0lo, lastm, colf, rowf, mats,
                        sb, blk, w1p, w2p, interpret=interpret,
-                       single=single, banded=banded, mxu=tb is not None)
+                       single=single, banded=banded, mxu=tb is not None,
+                       fin0=fin0, smallc=smallc)
 
 
 @functools.partial(jax.jit,
@@ -939,7 +991,7 @@ def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
 
 def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, banded=False,
              interpret=False,
-             single=False, tb=None):
+             single=False, tb=None, fin0=0, smallc=False):
     """DP kernel + on-device traceback in ONE program.  w1v/w2v: [G*sb] i32
     true widths.  Returns a packed i32 array [B, S/16 + 3]
     (emit words..., dir0, total_hi, total_lo).  Direction matrices never
@@ -949,15 +1001,18 @@ def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, banded=False,
     b = g * sb
 
     dirs_i32, fins = _dp_pallas_raw(colp, xs, sb, blk, w1p, w2p, interpret,
-                                    single, banded=banded, tb=tb)
+                                    single, banded=banded, tb=tb,
+                                    fin0=fin0, smallc=smallc)
     # [G, w1p, sb, w2pe] -> [B, w1p, w2pe]
     dirs_m = dirs_i32.transpose(0, 2, 1, 3).reshape(b, w1p, w2pe)
 
-    # final-row (hi, lo) triples per merge: fins[g, w1-1, s, :]
+    # final-row (hi, lo) triples per merge: fins[g, w1-1, s, :] - a masked
+    # reduce instead of take_along_axis (TPU gathers serialize)
     fins_b = fins.transpose(0, 2, 1, 3).reshape(b, w1p, 8)
     idx = jnp.maximum(w1v.astype(jnp.int32) - 1, 0)
-    f = jnp.take_along_axis(fins_b, idx[:, None, None].astype(jnp.int64),
-                            axis=1)[:, 0, :]     # [B, 8]
+    rsel = (jnp.arange(w1p, dtype=jnp.int32)[None, :] == idx[:, None])
+    f = jnp.sum(jnp.where(rsel[:, :, None], fins_b, 0), axis=1,
+                dtype=jnp.int32)                 # [B, 8]
 
     def join(hi, lo):
         return (hi.astype(jnp.int64) << np.int64(32)) | \
@@ -997,13 +1052,16 @@ def _forward_paths(emits, dir0):
     """Reversed walk emits [B, S] (sentinel 3 beyond the path) + initial
     channel dir0 [B] -> forward path codes [B, S] (construct's move list:
     emits reversed, boundary cut dropped, dir0 appended; sentinel 3
-    beyond)."""
+    beyond).  The reversal is ONE dynamic slice of the flipped array
+    (rev[k] = e[m-2-k] = flip(e)[S+1-m+k]) - the index-vector gather it
+    replaces lowers to a serial loop on TPU."""
     S = emits.shape[1]
     k = jnp.arange(S, dtype=jnp.int32)
 
     def one(e, d0):
         m = jnp.sum((e != 3).astype(jnp.int32))
-        rev = e[jnp.clip(m - 2 - k, 0, S - 1)]
+        ext = jnp.concatenate([jnp.flip(e), jnp.full((S,), 3, jnp.int32)])
+        rev = jax.lax.dynamic_slice(ext, (jnp.clip(S + 1 - m, 0, S),), (S,))
         return jnp.where(k == m - 1, d0,
                          jnp.where(k < m - 1, rev, jnp.int32(3)))
 
@@ -1012,7 +1070,8 @@ def _forward_paths(emits, dir0):
 
 def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                       sb, blk, w1p, w2p, interpret, single, merged=False,
-                      blo=None, bhi=None, mxu=None):
+                      blo=None, bhi=None, mxu=None, nl=4, fin0=0,
+                      smallc=False):
     b = c1s.shape[0]
     g = b // sb
 
@@ -1035,68 +1094,90 @@ def _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
     xs = {k: v.reshape((g, sb) + v.shape[1:]) for k, v in xs.items()}
     packed, emits, dir0 = _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p,
                                    banded=banded, interpret=interpret,
-                                   single=single, tb=tb)
+                                   single=single, tb=tb, fin0=fin0,
+                                   smallc=smallc)
     if not merged:
         return packed
     # device-resident result: merged counters from parents + forward path
     fwd = _forward_paths(emits, dir0)
-    mc = jax.vmap(merged_counters_device, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+    mc = jax.vmap(functools.partial(merged_counters_device, nl=nl),
+                  in_axes=(0, 0, 0, 0, 0, 0, 0))(
         c1s, c2s, fwd, w1v, w2v, card1v, card2v)
     return packed, mc
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
                                              "interpret", "single", "merged",
-                                             "mxu"))
+                                             "mxu", "nl", "fin0", "smallc"))
 def _dp_pallas_tb_counters(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                            sb, blk, w1p, w2p, interpret=False, single=False,
-                           merged=False, blo=None, bhi=None, mxu=None):
+                           merged=False, blo=None, bhi=None, mxu=None, nl=4,
+                           fin0=0, smallc=False):
     """Counters-in variant: c1s [B, w1p+1, 32], c2s [B, w2p+1, 32] (any int
     dtype, host OR device-resident), w1v/w2v/card1v/card2v [B] i32,
     sm [24,24] i64, gp static gap costs.  Stage 0 (scores, gap corrections,
     boundaries) runs on device.  merged=True additionally returns the
     merged profile counters [B, S+1, 32] i32 (device-resident: the next
-    merge reads them without any host upload)."""
+    merge reads them without any host upload); nl = 7-bit limb count
+    covering max(card1, card2) for the one-hot matmuls."""
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                              sb, blk, w1p, w2p, interpret, single, merged,
-                             blo=blo, bhi=bhi, mxu=mxu)
+                             blo=blo, bhi=bhi, mxu=mxu, nl=nl, fin0=fin0,
+                             smallc=smallc)
 
 
-def _csc_dense(counts, syms, vals, wp):
+def _csc_dense(counts, syms, vals, wp, nl=4):
     """Reconstruct dense [B, wp+1, 32] i32 counters from the compact
     per-column encoding: counts [B, wp+1] (nonzeros per column), syms
     [B, nnzb] (symbol of each nonzero, column-major), vals [B, nnzb]
-    (its count).  Padding entries have val 0, so their scatter-add is a
-    no-op wherever it lands (column index clamped into range)."""
+    (its count).  Padding entries have val 0 and contribute nothing.
+
+    The scatter runs as an exact one-hot limb contraction on the MXU
+    (out[c, s] = sum_k val[k] * [col_of[k]==c] * [syms[k]==s]; every f32
+    partial sum < nnzb * 127 < 2^24) - XLA's scatter-add lowers to a
+    serial loop on TPU.  searchsorted is likewise replaced by the dense
+    rank count sum_c [cum[c] <= k]."""
     b, nnzb = syms.shape
     cum = jnp.cumsum(counts.astype(jnp.int32), axis=1)      # [B, wp+1]
     ks = jnp.arange(nnzb, dtype=jnp.int32)
-    col_of = jax.vmap(
-        lambda c: jnp.searchsorted(c, ks, side="right"))(cum)
-    col_of = jnp.minimum(col_of, wp).astype(jnp.int32)
-    idx = col_of * 32 + syms.astype(jnp.int32)
-    flat = jnp.zeros((b, (wp + 1) * 32), jnp.int32)
-    flat = flat.at[jnp.arange(b)[:, None], idx].add(vals.astype(jnp.int32))
-    return flat.reshape(b, wp + 1, 32)
+    col_of = jnp.sum((cum[:, None, :] <= ks[None, :, None])
+                     .astype(jnp.int32), axis=2)            # [B, nnzb]
+    col_of = jnp.minimum(col_of, wp)
+    oh_col = (col_of[..., None]
+              == jnp.arange(wp + 1, dtype=jnp.int32)).astype(jnp.bfloat16)
+    oh_sym = (syms.astype(jnp.int32)[..., None]
+              == jnp.arange(32, dtype=jnp.int32)).astype(jnp.bfloat16)
+    v = vals.astype(jnp.int32)
+    out = None
+    for l in range(nl):
+        limb = ((v >> (7 * l)) & 127).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            oh_col * limb[..., None], oh_sym,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(jnp.int32) << (7 * l)
+        out = d if out is None else out + d
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("gp", "sb", "blk", "w1p", "w2p",
                                              "interpret", "single", "merged",
-                                             "mxu"))
+                                             "mxu", "nl", "fin0", "smallc"))
 def _dp_pallas_tb_csc(cnt1, sym1, val1, cnt2, sym2, val2, w1v, w2v,
                       card1v, card2v, sm, gp, sb, blk, w1p, w2p,
                       interpret=False, single=False, merged=False,
-                      blo=None, bhi=None, mxu=None):
+                      blo=None, bhi=None, mxu=None, nl=4, fin0=0,
+                      smallc=False):
     """Compact-upload variant: a profile column holds a handful of distinct
     symbols, so the host ships per-column nonzero counts (i8) + symbol ids
     (i8) + count values (i8/i16) instead of the dense [w, 32] tensor - the
     dominant cost of a dispatch through the tunnel is the host->device
     transfer (~26 ms + bytes/40 MB/s)."""
-    c1s = _csc_dense(cnt1, sym1, val1, w1p)
-    c2s = _csc_dense(cnt2, sym2, val2, w2p)
+    c1s = _csc_dense(cnt1, sym1, val1, w1p, nl=nl)
+    c2s = _csc_dense(cnt2, sym2, val2, w2p, nl=nl)
     return _tb_counters_impl(c1s, c2s, w1v, w2v, card1v, card2v, sm, gp,
                              sb, blk, w1p, w2p, interpret, single, merged,
-                             blo=blo, bhi=bhi, mxu=mxu)
+                             blo=blo, bhi=bhi, mxu=mxu, nl=nl, fin0=fin0,
+                             smallc=smallc)
 
 
 def _csc_pack(pairs, n, b, side, wp):
@@ -1161,52 +1242,81 @@ class JaxPathResult:
         self.merged_dev = merged_dev
 
 
-def _merge_i32_bound(params, p1, p2):
-    """Upper bound on |any i32 cost value or partial sum| the single-word
-    kernel computes for this merge, from the ACTUAL score magnitudes (not
-    the worst-case 3*card1*card2*C): match-score prefix sums, tmH/tmV
-    corrections, and the rank<=4 gap matrices gvs/gvc/ghs/ghc."""
+def _profile_bound_stats(p):
+    """Per-profile magnitude statistics for _merge_i32_bound / _mxu_cfg,
+    cached on the Profile (keyed by counters identity): the bound used to
+    recompute them per PAIR per DISPATCH - ~35 ms of host time per
+    32-merge batch, serial with the device."""
+    cached = getattr(p, "_dp_stats", None)
+    if cached is not None and cached[0] is p.counters:
+        return cached[1]
     from .dp_jax import _gap_correction_arrays
-    card1, card2 = len(p1.data), len(p2.data)
-    c1 = p1.counters.astype(np.int64)
-    c2 = p2.counters.astype(np.int64)
-    s1 = p1.scores
-    s2 = p2.scores
+    params = p.params
+    card = len(p.data)
+    c = p.counters.astype(np.int64)
+    s = p.scores
 
     def mx(a):
         return int(np.abs(a).max(initial=0))
 
-    g1 = _gap_correction_arrays(c1, p1.width, card1)
-    g2 = _gap_correction_arrays(c2, p2.width, card2)
-
-    # t prefix sums: sum_s c1[r, s] * max_j |s2[j, s]|, maxed over rows
-    m2s = np.abs(s2[:, :NO_AMINOACIDS_AND_GAPS]).max(axis=0)
-    t_b = int((c1[:, :NO_AMINOACIDS_AND_GAPS] @ m2s).max(initial=0))
-
-    p2o, p2e = s2[:, GAP_OPEN], s2[:, GAP_EXT]
-    p2to, p2te = s2[:, GAP_TERM_OPEN], s2[:, GAP_TERM_EXT]
-    tmH_b = (t_b + int(c1[:, GAP_OPEN].max(initial=0)) * mx(p2e - p2o)
-             + int(c1[:, GAP_TERM_OPEN].max(initial=0)) * mx(p2te - p2to))
-    g2chg = (c2[:, GAP_OPEN] * (params.gap_ext - params.gap_open)
-             + c2[:, GAP_TERM_OPEN]
+    g = _gap_correction_arrays(c, p.width, card)
+    m2s = np.abs(s[:, :NO_AMINOACIDS_AND_GAPS]).max(axis=0)
+    g2chg = (c[:, GAP_OPEN] * (params.gap_ext - params.gap_open)
+             + c[:, GAP_TERM_OPEN]
              * (params.gap_term_ext - params.gap_term_open))
-    tmV_b = t_b + int(c1[:, :NO_AMINOACIDS].sum(axis=1).max(initial=0)) \
-        * mx(g2chg)
+    st = dict(
+        card=card,
+        g_abs=tuple(mx(x) for x in g),
+        m2s=m2s, m2s_max=int(m2s.max(initial=0)),
+        sgo=mx(s[:, GAP_OPEN]), sge=mx(s[:, GAP_EXT]),
+        sgto=mx(s[:, GAP_TERM_OPEN]), sgte=mx(s[:, GAP_TERM_EXT]),
+        dE=mx(s[:, GAP_EXT] - s[:, GAP_OPEN]),
+        dT=mx(s[:, GAP_TERM_EXT] - s[:, GAP_TERM_OPEN]),
+        g2chg=mx(g2chg),
+        c_go=int(c[:, GAP_OPEN].max(initial=0)),
+        c_gto=int(c[:, GAP_TERM_OPEN].max(initial=0)),
+        colnng=int(c[:, :NO_AMINOACIDS].sum(axis=1).max(initial=0)),
+    )
+    try:
+        p._dp_stats = (p.counters, st)
+    except AttributeError:
+        pass                        # non-Profile stand-ins in tests
+    return st
 
-    s1go, s1ge = s1[:, GAP_OPEN], s1[:, GAP_EXT]
-    s1gto, s1gte = s1[:, GAP_TERM_OPEN], s1[:, GAP_TERM_EXT]
-    gvs_b = (mx(s1go) * mx(g2[0]) + mx(s1ge) * mx(g2[1])
-             + mx(s1gto) * mx(g2[2]) + mx(s1gte) * mx(g2[3]))
-    v0_b = card2 * max(mx(s1gto), mx(s1gte))
-    gvc_b = max(mx(s1ge) * mx(g2[4]) + mx(s1gte) * mx(g2[5]), v0_b)
-    ghs_b = (mx(g1[0]) * mx(p2o) + mx(g1[1]) * mx(p2e)
-             + mx(g1[2]) * mx(p2to) + mx(g1[3]) * mx(p2te))
-    ghc_b = mx(g1[4]) * mx(p2e) + mx(g1[5]) * mx(p2te)
+
+def _merge_i32_bound(params, p1, p2):
+    """Upper bound on |any i32 cost value or partial sum| the single-word
+    kernel computes for this merge, from the ACTUAL score magnitudes (not
+    the worst-case 3*card1*card2*C): match-score prefix sums, tmH/tmV
+    corrections, and the rank<=4 gap matrices gvs/gvc/ghs/ghc.  Value-
+    identical to the pre-cache formulation (same maxima, same terms)."""
+    st1 = _profile_bound_stats(p1)
+    st2 = _profile_bound_stats(p2)
+    card1, card2 = st1["card"], st2["card"]
+
+    # t prefix sums: sum_s c1[r, s] * max_j |s2[j, s]|, maxed over rows -
+    # the only cross-profile term that needs the counter matrix
+    c1s = p1.counters[:, :NO_AMINOACIDS_AND_GAPS]
+    if c1s.dtype != np.int64:
+        c1s = c1s.astype(np.int64)
+    t_b = int((c1s @ st2["m2s"]).max(initial=0))
+
+    tmH_b = t_b + st1["c_go"] * st2["dE"] + st1["c_gto"] * st2["dT"]
+    tmV_b = t_b + st1["colnng"] * st2["g2chg"]
+    gvs_b = (st1["sgo"] * st2["g_abs"][0] + st1["sge"] * st2["g_abs"][1]
+             + st1["sgto"] * st2["g_abs"][2] + st1["sgte"] * st2["g_abs"][3])
+    v0_b = card2 * max(st1["sgto"], st1["sgte"])
+    gvc_b = max(st1["sge"] * st2["g_abs"][4] + st1["sgte"] * st2["g_abs"][5],
+                v0_b)
+    ghs_b = (st1["g_abs"][0] * st2["sgo"] + st1["g_abs"][1] * st2["sge"]
+             + st1["g_abs"][2] * st2["sgto"] + st1["g_abs"][3] * st2["sgte"])
+    ghc_b = st1["g_abs"][4] * st2["sge"] + st1["g_abs"][5] * st2["sgte"]
     # raw factors stored as single i32 words must themselves fit, even
     # when every product they enter is small (e.g. a gapless profile2)
-    raw_b = max(int(m2s.max(initial=0)),
-                mx(s1go), mx(s1ge), mx(s1gto), mx(s1gte),
-                mx(p2o), mx(p2e), mx(p2to), mx(p2te), mx(g2chg))
+    raw_b = max(st2["m2s_max"],
+                st1["sgo"], st1["sge"], st1["sgto"], st1["sgte"],
+                st2["sgo"], st2["sge"], st2["sgto"], st2["sgte"],
+                st2["g2chg"])
     # stage-0 recomputes the score columns in i32 in single mode: its
     # partial sums are bounded by card * (max |SM entry| + sum |gap cost|)
     # even when the final scores cancel to small values
@@ -1232,17 +1342,20 @@ _MXU_OFF = _os.environ.get("FAMSA_TPU_DP_MXU", "1") != "1"
 def _mxu_cfg(pairs):
     """Static (l1, l2, b2log) for _mxu_tb, or None when the limb budget
     doesn't cover the batch: counts need l1 <= 2 7-bit limbs (card <
-    16384), biased scores l2 <= 4 (|s2| < 2^27).  b2log is quantized to
-    {6, 13, 20, 27} to bound the number of compiled variants."""
+    16384), biased scores l2 <= 3 (|s2| < 2^20).  b2log is quantized to
+    {6, 13, 20} to bound the number of compiled variants.  Beyond 3 score
+    limbs the XLA limb-combine epilogue (4x convert/shift/add passes over
+    the [B, w1p, w2pe] tb tensor) costs more than the in-kernel 30-term
+    MAC it replaces (measured: 43.3 ms MAC vs 49.3 ms 4-limb MXU for a
+    32 x 2048^2 batch), so those configs stay on the VPU MAC."""
     if _MXU_OFF:
         return None
     maxcard = max(len(p1.data) for p1, _ in pairs)
     l1 = 1 if maxcard < 128 else 2 if maxcard < 16384 else None
     if l1 is None:
         return None
-    m2s = max(int(np.abs(p2.scores[:, :NO_AMINOACIDS_AND_GAPS]).max())
-              for _, p2 in pairs)
-    for b2log in (6, 13, 20, 27):
+    m2s = max(_profile_bound_stats(p2)["m2s_max"] for _, p2 in pairs)
+    for b2log in (6, 13, 20):
         if m2s < (1 << b2log):
             return (l1, (b2log + 1) // 7, b2log)
     return None
@@ -1297,14 +1410,43 @@ def _leaf_counters_dev_b(syms, wp):
     return out.at[:, 1:wp + 1].set(oh)
 
 
+@jax.jit
+def _stack_rows(rows):
+    """Stack a list of [wp+1, 32] device arrays in ONE jitted dispatch -
+    the eager jnp.stack costs ~13 ms through the axon tunnel."""
+    return jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("wp",))
+def _assemble_combine(host_c, leaf_syms, leaf_mask, groups, wp):
+    """Fused side assembly (one dispatch): dense host upload (or zeros),
+    leaf one-hots, and per-source-batch gathers of device-resident
+    counters.  host_c/leaf_* may be None (pytree structure selects the
+    trace); groups is a list of (batch, src_ids, mask)."""
+    if host_c is not None:
+        out = host_c.astype(jnp.int32)
+    else:
+        b = (leaf_mask.shape[0] if leaf_mask is not None
+             else groups[0][2].shape[0])
+        out = jnp.zeros((b, wp + 1, 32), jnp.int32)
+    if leaf_syms is not None:
+        out = jnp.where(leaf_mask[:, None, None],
+                        _leaf_counters_dev_b(leaf_syms, wp=wp), out)
+    for batch, src, mask in groups:
+        got = batch[src, :wp + 1]
+        out = jnp.where(mask[:, None, None], got, out)
+    return out
+
+
 def _assemble_side(pairs, dev_pairs, n, b, side, wp):
     """[B, wp+1, 32] i32 device tensor for one merge side, in O(1) device
-    ops per DISPATCH (every eager op through the axon tunnel costs
-    ~1-2 ms even without a pull): device-resident parent counters are
-    gathered once per source batch (MergedRefs from one resolved dispatch
-    share their tensor) and masked in; ungapped leaves upload only their
-    symbol bytes, one-hotted on device in one batched op; other host-only
-    profiles ride a single dense upload."""
+    DISPATCHES (every eager op through the axon tunnel costs ~1-2 ms even
+    without a pull, and a bare eager stack ~13 ms): device-resident
+    parent counters are gathered once per source batch (MergedRefs from
+    one resolved dispatch share their tensor) and masked in; ungapped
+    leaves upload only their symbol bytes, one-hotted on device in one
+    batched op; other host-only profiles ride a single dense upload - all
+    fused into one jitted program (_assemble_combine)."""
     host_c = None                    # lazily-allocated dense upload
     leaf_syms = None                 # [b, wp] i8 symbol upload
     leaf_mask = np.zeros(b, dtype=bool)
@@ -1346,20 +1488,16 @@ def _assemble_side(pairs, dev_pairs, n, b, side, wp):
 
     if misc and len(misc) == b:
         # all sides are plain resident arrays (e.g. bench steady state):
-        # one concatenate, no base tensor
-        return jnp.stack([row for _, row in misc])
-    if host_c is not None:
-        out = jnp.asarray(host_c).astype(jnp.int32)
-    else:
-        out = jnp.zeros((b, wp + 1, 32), jnp.int32)
-    if leaf_syms is not None:
-        out = jnp.where(jnp.asarray(leaf_mask)[:, None, None],
-                        _leaf_counters_dev_b(jnp.asarray(leaf_syms), wp=wp),
-                        out)
-    for batch, src, mask in groups.values():
-        got = batch[jnp.asarray(src), :wp + 1]
-        out = jnp.where(jnp.asarray(mask)[:, None, None], got, out)
+        # one jitted stack, no base tensor
+        return _stack_rows([row for _, row in misc])
+    out = _assemble_combine(
+        host_c, leaf_syms if leaf_syms is None else jnp.asarray(leaf_syms),
+        None if leaf_syms is None else jnp.asarray(leaf_mask),
+        [(batch, jnp.asarray(src), jnp.asarray(mask))
+         for batch, src, mask in groups.values()],
+        wp=wp)
     if misc:
+        # rare mixed case: oddly-shaped resident arrays patched in eagerly
         idx = np.array([k for k, _ in misc])
         out = out.at[idx].set(jnp.stack([row for _, row in misc]))
     return out
@@ -1427,6 +1565,20 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     common = (jnp.asarray(w1v), jnp.asarray(w2v),
               jnp.asarray(k1v), jnp.asarray(k2v), sm)
 
+    # 7-bit limb count covering every parent counter value (static) for
+    # the one-hot matmuls in _csc_dense / merged_counters_device
+    nl = 1
+    maxcard = int(max(k1v.max(), k2v.max()))
+    while (1 << (7 * nl)) <= maxcard:
+        nl += 1
+    smallc = maxcard < 65536
+    # first grid step that can hold some merge's final DP row, quantized
+    # to quarters of the grid to bound compile variants: earlier steps
+    # skip the 6 per-row last-column reduces entirely
+    nsteps = w1p // blk
+    q = max(1, nsteps // 4)
+    fin0 = min((max(0, (int(w1v.min()) - 1) // blk) // q) * q, nsteps - 1)
+
     have_dev = dev_pairs is not None and any(
         d1 is not None or d2 is not None for d1, d2 in dev_pairs)
     if have_dev:
@@ -1435,7 +1587,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
         packed = _dp_pallas_tb_counters(
             c1s, c2s, *common, gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single, merged=want_merged,
-            blo=blo, bhi=bhi, mxu=mxu)
+            blo=blo, bhi=bhi, mxu=mxu, nl=nl, fin0=fin0, smallc=smallc)
         if want_merged:
             packed, mc = packed
             return PendingPaths(packed, n, mc)
@@ -1456,7 +1608,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single, merged=want_merged,
-            blo=blo, bhi=bhi, mxu=mxu)
+            blo=blo, bhi=bhi, mxu=mxu, nl=nl, fin0=fin0, smallc=smallc)
     else:
         # pack straight into the upload dtype (counts <= card)
         maxc = int(max(k1v.max(), k2v.max()))
@@ -1473,7 +1625,7 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
             jnp.asarray(c1s), jnp.asarray(c2s), *common,
             gp=gp, sb=sb, blk=blk, w1p=w1p, w2p=w2p,
             interpret=interpret, single=single, merged=want_merged,
-            blo=blo, bhi=bhi, mxu=mxu)
+            blo=blo, bhi=bhi, mxu=mxu, nl=nl, fin0=fin0, smallc=smallc)
     if want_merged:
         packed, mc = out
         return PendingPaths(packed, n, mc)
@@ -1544,11 +1696,51 @@ def dp_profile_pallas_batched(params, pairs, sb=None, interpret=False,
 # (reference ConstructProfile, profile.cpp:694-1002): gap-category columns
 # via the start/continue rules and the open->ext transfer corrections.
 # ---------------------------------------------------------------------------
-def merged_counters_device(c1, c2, emits, w1, w2, card1, card2):
+def _onehot_rows(oh, mat, nl):
+    """Exact row gather as a one-hot MXU matmul: oh [S, W] bf16 one-hot
+    (all-zero rows allowed), mat [W, C] i32 with 0 <= value < 2^(7*nl).
+    Values are split into 7-bit limbs (exact in bf16; every f32 partial
+    sum gathers at most one product < 128) - the same limb discipline as
+    _mxu_tb.  Plain jnp.take over a traced row-index vector lowers to a
+    serial gather loop on TPU (measured ~2.7 ms per 4096-row gather
+    through XLA); this runs on the MXU instead."""
+    out = None
+    for l in range(nl):
+        limb = ((mat >> (7 * l)) & 127).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            oh, limb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) << (7 * l)
+        out = d if out is None else out + d
+    return out
+
+
+def _onehot_reduce(oh, vec, nl):
+    """Exact scatter-add as the transposed one-hot matmul: out[c, q] =
+    sum_k oh[k, c] * vec[k, q].  vec [S, Q] i32, 0 <= value < 2^(7*nl);
+    every f32 partial sum is < S * 127 < 2^24, so the i32 round-trip is
+    lossless."""
+    out = None
+    for l in range(nl):
+        limb = ((vec >> (7 * l)) & 127).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            oh, limb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) << (7 * l)
+        out = d if out is None else out + d
+    return out
+
+
+def merged_counters_device(c1, c2, emits, w1, w2, card1, card2, nl=4):
     """c1 [w1p+1, 32], c2 [w2p+1, 32] (any int dtype), emits [S] i32 path
     codes (0=D 1=H 2=V, 3=done sentinel), w1/w2/card1/card2 i32 scalars.
-    Returns merged counters [S+1, 32] i32 (row 0 zero, rows 1..width the
-    merged columns, rows beyond the path zero).
+    nl (static): 7-bit limbs covering every parent counter value
+    (max(card1, card2) < 2^(7*nl)).  Returns merged counters [S+1, 32]
+    i32 (row 0 zero, rows 1..width the merged columns, rows beyond the
+    path zero).
+
+    All row gathers along the path and the transfer scatter run as exact
+    one-hot limb matmuls on the MXU (_onehot_rows/_onehot_reduce): the
+    XLA gather/scatter lowerings they replace executed serially on TPU
+    and cost ~2.7 ms per merge - 2/3 of the whole DP dispatch.
 
     Key identities that make this vectorizable:
       - profile scores are a fixed linear function of counters, so only
@@ -1557,7 +1749,10 @@ def merged_counters_device(c1, c2, emits, w1, w2, card1, card2):
         transfer-invariant sums of the ORIGINAL parent counters, and each
         parent column receives at most one transfer;
       - within a gap run the start/continue category counts reach a fixed
-        point after two columns (closed form below)."""
+        point after two columns (closed form below);
+      - the parent position is CONSTANT across a gap run (only the other
+        parent advances), so per-step gathered values already equal their
+        run-start values - no forward-fill gather is needed."""
     S = emits.shape[0]
     it = jnp.int32
     c1 = c1.astype(it)
@@ -1574,32 +1769,40 @@ def merged_counters_device(c1, c2, emits, w1, w2, card1, card2):
     prev_e = jnp.concatenate([jnp.array([_D], it), e[:-1]])
     sH = valid & (e == _H) & (prev_e != _H)
     sV = valid & (e == _V) & (prev_e != _V)
+    isH = valid & (e == _H)
+    isV = valid & (e == _V)
 
-    def gather(c, idx):
-        return c[jnp.clip(idx, 0, c.shape[0] - 1)]
+    def side(c, w, size, start_mask, run_mask, pos):
+        """One parent's contribution: (advance rows with the open->ext
+        transfers applied [S, 32], gap-run category counts [S] x4)."""
+        W = c.shape[0]
+        cols = jnp.arange(W, dtype=it)[None, :]
+        oh_cur = (pos[:, None] == cols).astype(jnp.bfloat16)
+        oh_nxt = (pos[:, None] + 1 == cols).astype(jnp.bfloat16)
+        cur = _onehot_rows(oh_cur, c, nl)    # rows c[pos]
+        nxt = _onehot_rows(oh_nxt, c, nl)    # rows c[pos+1] (zero at ==W;
+        # the old clipped gather read row W-1 there, but every consumer
+        # masks that case: transfers need pos < w, run_vals overrides
+        # with the at-end closed form when pos >= w)
 
-    # ---- transfers: one per gap-run start, applied to parent column i+1
-    def transfers(c, w, start_mask, pos):
-        tcol = jnp.clip(pos + 1, 0, c.shape[0] - 1)
+        # ---- transfers (profile.cpp:840-975): one per gap-run start,
+        # applied to parent column pos+1 (distinct target columns)
         on = start_mask & (pos < w)
-        t = jnp.where(on & (pos > 0), gather(c, pos + 1)[:, GAP_OPEN], it(0))
-        tt = jnp.where(on, gather(c, pos + 1)[:, GAP_TERM_OPEN], it(0))
-        ct = c
-        ct = ct.at[tcol, GAP_EXT].add(jnp.where(on, t, 0))
-        ct = ct.at[tcol, GAP_OPEN].add(jnp.where(on, -t, 0))
-        ct = ct.at[tcol, GAP_TERM_EXT].add(jnp.where(on, tt, 0))
-        ct = ct.at[tcol, GAP_TERM_OPEN].add(jnp.where(on, -tt, 0))
-        return ct
+        t = jnp.where(on & (pos > 0), nxt[:, GAP_OPEN], it(0))
+        tt = jnp.where(on, nxt[:, GAP_TERM_OPEN], it(0))
+        dq = _onehot_reduce(oh_nxt, jnp.stack([t, tt], axis=1), nl)
+        dg = _onehot_rows(oh_cur, dq, nl)    # [S, 2]: dq[pos[k]]
 
-    c1t = transfers(c1, w1, sH, i_k)
-    c2t = transfers(c2, w2, sV, j_k)
+        curt = cur.at[:, GAP_EXT].add(dg[:, 0])
+        curt = curt.at[:, GAP_OPEN].add(-dg[:, 0])
+        curt = curt.at[:, GAP_TERM_EXT].add(dg[:, 1])
+        curt = curt.at[:, GAP_TERM_OPEN].add(-dg[:, 1])
 
-    # ---- gap-run category counts (SolveGapsProblemWhenStarting /
-    # Continuing, profile.cpp:1116-1220) from ORIGINAL parent counters
-    def run_vals(c, w, size, start_mask, run_mask, pos):
-        # start values at run-start steps
-        nxt = gather(c, pos + 1)
-        cur = gather(c, pos)
+        # ---- gap-run category counts (SolveGapsProblemWhenStarting /
+        # Continuing, profile.cpp:1116-1220) from ORIGINAL counters.  pos
+        # is constant across a run (only the other parent advances), so
+        # cur/nxt at every in-run step already equal the run-start rows -
+        # the old forward-fill gather ([seg_c]) was a no-op by identity.
         to1 = nxt[:, GAP_TERM_OPEN]
         te1 = cur[:, GAP_TERM_OPEN] + cur[:, GAP_TERM_EXT]
         e1 = cur[:, GAP_OPEN] + cur[:, GAP_EXT]
@@ -1612,43 +1815,32 @@ def merged_counters_device(c1, c2, emits, w1, w2, card1, card2):
         to1 = jnp.where(at0, size, jnp.where(atw, size - cnt_end, to1))
         te1 = jnp.where(at0, it(0), jnp.where(atw, cnt_end, te1))
 
-        # broadcast start values over the run (last-start gather)
         seg = jax.lax.cummax(jnp.where(start_mask, k, it(-1)))
-        seg_c = jnp.clip(seg, 0, S - 1)
+        p = k - jnp.clip(seg, 0, S - 1) + 1  # position within the run
+        bnd = at0 | atw                      # constant within the run
 
-        def pick(v):
-            return jnp.where(start_mask, v, it(0))[seg_c]
-
-        o1r, e1r = pick(o1), pick(e1)
-        to1r, te1r = pick(to1), pick(te1)
-        p = k - seg_c + 1
-        bnd = (pos == 0) | (pos >= w)         # pos constant within the run
-
-        e2 = o1r + e1r
-        te2 = to1r + te1r
+        e2 = o1 + e1
+        te2 = to1 + te1
         o2 = size - e2 - te2
-        o = jnp.where(p == 1, o1r, jnp.where(p == 2, o2, it(0)))
-        ee = jnp.where(p == 1, e1r, jnp.where(p == 2, e2, size - te2))
-        to = jnp.where(p == 1, to1r, it(0))
-        te = jnp.where(p == 1, te1r, te2)
+        o = jnp.where(p == 1, o1, jnp.where(p == 2, o2, it(0)))
+        ee = jnp.where(p == 1, e1, jnp.where(p == 2, e2, size - te2))
+        to = jnp.where(p == 1, to1, it(0))
+        te = jnp.where(p == 1, te1, te2)
         # boundary runs: every continuing column is pure terminal ext
         o = jnp.where(bnd & (p > 1), it(0), o)
         ee = jnp.where(bnd & (p > 1), it(0), ee)
         to = jnp.where(bnd & (p > 1), it(0), to)
         te = jnp.where(bnd & (p > 1), size, te)
         z = it(0)
-        return (jnp.where(run_mask, o, z), jnp.where(run_mask, ee, z),
-                jnp.where(run_mask, to, z), jnp.where(run_mask, te, z))
+        return curt, (jnp.where(run_mask, o, z), jnp.where(run_mask, ee, z),
+                      jnp.where(run_mask, to, z), jnp.where(run_mask, te, z))
 
-    isH = valid & (e == _H)
-    isV = valid & (e == _V)
-    isD = valid & (e == _D)
-    gv1 = run_vals(c1, w1, card1, sH, isH, i_k)
-    gv2 = run_vals(c2, w2, card2, sV, isV, j_k)
+    curt1, gv1 = side(c1, w1, card1, sH, isH, i_k)
+    curt2, gv2 = side(c2, w2, card2, sV, isV, j_k)
 
     # ---- assemble merged columns: step k -> column k+1
-    r1 = jnp.where(adv1[:, None], gather(c1t, i_k), it(0))
-    r2 = jnp.where(adv2[:, None], gather(c2t, j_k), it(0))
+    r1 = jnp.where(adv1[:, None], curt1, it(0))
+    r2 = jnp.where(adv2[:, None], curt2, it(0))
     rows = r1 + r2
     gapcat = jnp.zeros((S, 32), it)
     gapcat = gapcat.at[:, GAP_OPEN].add(gv1[0] + gv2[0])

@@ -387,11 +387,14 @@ def test_dp_pallas_guided_band_stress():
 
 
 def test_dp_pallas_mxu_limbs():
-    """MXU match-score path (_mxu_tb int8 limb matmuls) at two-limb
-    counts (card >= 128) and with guided bands; parity vs the host DP."""
+    """MXU match-score path (_mxu_tb limb matmuls) at two-limb counts
+    (card >= 128); parity vs the host DP.  Scores this large sit outside
+    the 3-limb win region, so _mxu_cfg declines them (the 4-limb combine
+    epilogue measured slower than the in-kernel MAC) - the kernel path is
+    exercised by forcing the config."""
     from famsa_tpu.core.construct import _trace_path
     from famsa_tpu.ops.dp_jax import dp_profile_jax
-    from famsa_tpu.ops.dp_pallas import _mxu_cfg, dp_profile_pallas_paths
+    from famsa_tpu.ops import dp_pallas as dpp
 
     rng = np.random.default_rng(71)
     params = Params()
@@ -399,10 +402,14 @@ def test_dp_pallas_mxu_limbs():
 
     p1 = _make_profile(rng, params, 150, 40)    # card 150 -> l1 = 2
     p2 = _make_profile(rng, params, 130, 50)
-    cfg = _mxu_cfg([(p1, p2)])
-    assert cfg is not None and cfg[0] == 2
-    got = dp_profile_pallas_paths(params, [(p1, p2)], interpret=True,
-                                  single=True)[0]
+    assert dpp._mxu_cfg([(p1, p2)]) is None     # 4 score limbs: declined
+    orig = dpp._mxu_cfg
+    dpp._mxu_cfg = lambda pairs: (2, 4, 27)     # force the kernel path
+    try:
+        got = dpp.dp_profile_pallas_paths(params, [(p1, p2)],
+                                          interpret=True, single=True)[0]
+    finally:
+        dpp._mxu_cfg = orig
     ref = dp_profile_jax(params, p1, p2)
     path, total = _trace_path(ref, p1.width, p2.width)
     assert got.total == total
