@@ -15,11 +15,26 @@ so whole runs merge with three vectorized adds."""
 
 import numpy as np
 
+from ..native import get_lib
 from .construct import _solve_starting, _trace_path
 from .defs import (GAP, GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
                    NO_AMINOACIDS, NO_SYMBOLS, SCORE_DTYPE)
 from .dp import D, H, V
 from .profile import Profile
+
+
+def _gap_ptr_cache(profile):
+    """[card] uint64 raw pointers + [card] int64 sizes of the members'
+    n_gaps arrays, cached on the Profile (construct concatenates the
+    parents' caches, so steady state is one memcpy per merge)."""
+    if (profile._gap_ptrs is None
+            or len(profile._gap_ptrs) != len(profile.data)):
+        profile._gap_ptrs = np.fromiter(
+            (gs.n_gaps.ctypes.data for gs in profile.data), np.uint64,
+            len(profile.data))
+        profile._gap_sizes = np.fromiter(
+            (gs.size for gs in profile.data), np.int64, len(profile.data))
+    return profile._gap_ptrs, profile._gap_sizes
 
 
 def _path_runs(path):
@@ -177,12 +192,50 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
 
     assert i == w1 and j == w2
 
-    for gs in profile2.data:
-        gs.remap_columns(colmap2, width)
-    for gs in profile1.data:
-        gs.remap_columns(colmap1, width)
+    # apply only the INSERTED gap-column runs to member sequences (the
+    # reference's FinalizeGaps discipline, profile.cpp:1052-1106): a side
+    # whose columns all survived contiguously costs ZERO per member -
+    # remap_columns was O(card * size) per merge, which on chained guide
+    # trees (sum of merge cardinalities ~n^2/2) dominated the 100k run
+    def apply_side(profile, colmap, w_old):
+        members = profile.data
+        deltas_all = np.diff(colmap[:w_old + 1]) - 1
+        sel = deltas_all > 0
+        idxs = np.nonzero(sel)[0] + 1        # insert before OLD column i
+        deltas = deltas_all[sel]
+        trail = int(width - colmap[w_old])
+        if len(idxs) == 0 and trail == 0:
+            return
+        lib = get_lib()
+        if (lib is not None and len(members) > 1024
+                and p.thr_internal_refinement == 0):
+            # native batch (reference multithreads FinalizeGaps at the
+            # same >=1024 threshold).  Safe because these members have
+            # never been probed: position-line caches (_cum) are only
+            # built by refinement/decode probes, and profiles that were
+            # probed are <= 1000 members (refinement skip rule) or -ri
+            # products (excluded by the thr_internal_refinement gate)
+            ptrs, sizes = _gap_ptr_cache(profile)
+            lib.apply_column_inserts_batch(
+                ptrs, sizes, len(members),
+                np.ascontiguousarray(idxs, dtype=np.int64),
+                np.ascontiguousarray(deltas, dtype=np.int64),
+                len(idxs), trail)
+            return
+        for gs in members:
+            gs.apply_column_inserts(idxs, deltas, trail)
+
+    apply_side(profile2, colmap2, w2)
+    apply_side(profile1, colmap1, w1)
 
     dest.data = profile2.data + profile1.data
+    if profile2._gap_ptrs is not None and profile1._gap_ptrs is not None:
+        # carry the member-pointer cache forward: one concatenate instead
+        # of an O(card) per-member rebuild at the next merge
+        dest._gap_ptrs = np.concatenate([profile2._gap_ptrs,
+                                         profile1._gap_ptrs])
+        dest._gap_sizes = np.concatenate([profile2._gap_sizes,
+                                          profile1._gap_sizes])
     profile1.data = []
     profile2.data = []
 

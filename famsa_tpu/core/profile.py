@@ -16,7 +16,8 @@ from .sequence import GappedSequence
 
 class Profile:
     __slots__ = ("params", "data", "counters", "scores", "width",
-                 "total_score", "dev_counters", "_dp_stats")
+                 "total_score", "dev_counters", "_dp_stats",
+                 "_gap_ptrs", "_gap_sizes")
 
     def __init__(self, params):
         self.params = params
@@ -32,6 +33,10 @@ class Profile:
         # magnitude-statistics cache for the DP dispatch bounds
         # (ops/dp_pallas.py:_profile_bound_stats)
         self._dp_stats = None
+        # member n_gaps pointer/size arrays for the native batched gap
+        # apply (core/construct_fast.py:_gap_ptr_cache)
+        self._gap_ptrs = None
+        self._gap_sizes = None
 
     @classmethod
     def from_gapped_sequence(cls, gs: GappedSequence, params):

@@ -150,6 +150,27 @@ class GappedSequence:
         """1-based gapped positions of the symbols ([size] int64)."""
         return np.cumsum(self.n_gaps[:-1] + 1)
 
+    def apply_column_inserts(self, idxs, deltas, trail):
+        """Add all-gap-column runs: deltas[k] gap columns inserted just
+        before OLD column idxs[k] (ascending), plus `trail` trailing gap
+        columns.  Equivalent to remap_columns with the induced column map
+        (new_gaps[j] = old_gaps[j] + sum of deltas landing in unit j) but
+        costs O(R log size) instead of O(size) - and the construct caller
+        skips sequences entirely when a side received no gap runs, which
+        is the common case on chained guide trees (the reference applies
+        only v_gaps_prof events the same way, profile.cpp:1052-1106)."""
+        if self.size == 0:
+            self.n_gaps[0] += int(deltas.sum()) + trail
+            self._cum = None
+            return
+        if len(idxs):
+            pos = self.symbol_positions()
+            ks = np.searchsorted(pos, idxs, side="left")
+            np.add.at(self.n_gaps, ks, deltas)
+        if trail:
+            self.n_gaps[self.size] += trail
+        self._cum = None
+
     def remap_columns(self, colmap, new_width):
         """Rewrite gap runs given old-column -> new-column map.
 

@@ -69,6 +69,8 @@ def _configure(lib):
                                  p_i64, p_i64]
     lib.clarans_init.restype = ctypes.c_float
     lib.lcs_batch.argtypes = [p_u64, i64, p_i8, i64, i64, p_i64]
+    lib.apply_column_inserts_batch.argtypes = [p_u64, p_i64, i64,
+                                               p_i64, p_i64, i64, i64]
 
 
 def unpack_dirs(packed):

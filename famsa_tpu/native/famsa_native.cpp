@@ -488,4 +488,38 @@ void lcs_batch(const uint64_t* masks /* 32 x bv_len */, int64_t bv_len,
     }
 }
 
+// ---------------------------------------------------------------------
+// Batched all-gap-column insertion over a profile's member sequences
+// (reference FinalizeGaps, profile.cpp:1052-1106): deltas[r] gap columns
+// inserted just before OLD column idxs[r] (ascending) plus `trail`
+// trailing columns, applied to every member's n_gaps run-length array.
+// ptrs[m] is the raw int64* of member m's n_gaps ([size+1] entries);
+// the Python wrapper guarantees no cached position line is live.
+void apply_column_inserts_batch(const uint64_t* ptrs, const int64_t* sizes,
+                                int64_t n_members, const int64_t* idxs,
+                                const int64_t* deltas, int64_t n_runs,
+                                int64_t trail) {
+    std::vector<int64_t> ks(static_cast<size_t>(n_runs));
+    int64_t sumd = 0;
+    for (int64_t r = 0; r < n_runs; ++r) sumd += deltas[r];
+    for (int64_t m = 0; m < n_members; ++m) {
+        int64_t* g = reinterpret_cast<int64_t*>(ptrs[m]);
+        const int64_t size = sizes[m];
+        if (size == 0) { g[0] += sumd + trail; continue; }
+        // two-pointer walk: ks[r] = #symbols with (old) position <
+        // idxs[r]; deferred application so the walk reads pristine gaps
+        int64_t x = 0, cum = 0;
+        for (int64_t r = 0; r < n_runs; ++r) {
+            const int64_t i = idxs[r];
+            while (x < size) {
+                const int64_t nxt = cum + g[x] + 1;
+                if (nxt < i) { cum = nxt; ++x; } else break;
+            }
+            ks[r] = x;
+        }
+        for (int64_t r = 0; r < n_runs; ++r) g[ks[r]] += deltas[r];
+        g[size] += trail;
+    }
+}
+
 } // extern "C"

@@ -96,8 +96,17 @@ def _row_block(sb, w2pe, single=True):
     per_row = (w2pe + 8 + 32 + _ROWF_K[single]) * sb * 4 * 2 \
         + (9 if single else 16) * w2pe * sb * 4 \
         + 6 * w2pe * sb * 4     # block cost temporaries + saved channels
+    if single:
+        budget = 24 * 1024 * 1024
+    else:
+        # pair mode doubles most live temporaries; the formula above
+        # underestimates them (observed: 18.6 MB actual vs 9.6 modeled at
+        # sb=1, w2pe=8320, blk=8 - over the 16 MB scoped-vmem limit), so
+        # budget conservatively and scale the per-row share
+        per_row = int(per_row * 2.5)
+        budget = 10 * 1024 * 1024
     for blk in (8, 4, 2, 1):
-        if fixed + blk * per_row <= 24 * 1024 * 1024:
+        if fixed + blk * per_row <= budget:
             return blk
     return 1
 
@@ -1572,12 +1581,13 @@ def dp_profile_pallas_paths_async(params, pairs, sb=None, interpret=False,
     while (1 << (7 * nl)) <= maxcard:
         nl += 1
     smallc = maxcard < 65536
-    # first grid step that can hold some merge's final DP row, quantized
-    # to quarters of the grid to bound compile variants: earlier steps
-    # skip the 6 per-row last-column reduces entirely
+    # first grid step that can hold some merge's final DP row: only the
+    # uniform-width case (all w1 == w1p, e.g. the bench's steady-state
+    # batches) skips the per-row last-column reduces - finer quantization
+    # multiplied compiled kernel variants per bucket shape, and each
+    # fresh Mosaic compile costs minutes through the tunnel
     nsteps = w1p // blk
-    q = max(1, nsteps // 4)
-    fin0 = min((max(0, (int(w1v.min()) - 1) // blk) // q) * q, nsteps - 1)
+    fin0 = nsteps - 1 if int(w1v.min()) == w1p else 0
 
     have_dev = dev_pairs is not None and any(
         d1 is not None or d2 is not None for d1, d2 in dev_pairs)

@@ -176,11 +176,17 @@ def compute_alignment(params, gapped_sequences, tree_list):
     n = len(gapped_sequences)
     profiles = {}
     ref_thr = params.thr_internal_refinement
+    n_done = n
 
     for node_id in range(len(tree_list)):
         a, b = tree_list[node_id]
         if node_id < n:
             continue
+        n_done += 1
+        if n_done % 100 == 0:
+            logger.progress(f"Computing alignment - "
+                            f"{100.0 * n_done / (2 * n - 1):.1f}%"
+                            f"    ({n_done} of {2 * n - 1})")
         for child in (a, b):
             if child < n and child not in profiles:
                 profiles[child] = Profile.from_gapped_sequence(
@@ -262,22 +268,46 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     n = len(gapped_sequences)
     ref_thr = params.thr_internal_refinement
 
+    # reference progress line (msa.cpp:412-424): computed profiles out of
+    # 2n-1 (leaves + merges), every 100, at -vv
+    n_prog = [n]
+
+    def _tick():
+        n_prog[0] += 1
+        if n_prog[0] % 100 == 0 or n_prog[0] == 2 * n - 1:
+            logger.progress(f"Computing alignment - "
+                            f"{100.0 * n_prog[0] / (2 * n - 1):.1f}%"
+                            f"    ({n_prog[0]} of {2 * n - 1})")
+
+    import heapq
+
     children = {}
     n_pending = {}
-    ready = []
     done = {}
     for node_id in range(n, len(tree_list)):
         a, b = tree_list[node_id]
         children[node_id] = (a, b)
-        pend = (a >= n) + (b >= n)
-        n_pending[node_id] = pend
-        if pend == 0:
-            ready.append(node_id)
+        n_pending[node_id] = (a >= n) + (b >= n)
 
     parent_of = {}
     for node_id, (a, b) in children.items():
         parent_of[a] = node_id
         parent_of[b] = node_id
+
+    # deepest-first priority (reference CProfileQueue, queues.cpp:27-40):
+    # finishing one subtree before starting the next bounds the live
+    # profile frontier - draining a whole tree level at once materializes
+    # O(n) [W, 32] counter/score tensors (~15 GB at 100k sequences)
+    depth = {}
+    for node_id in range(len(tree_list) - 1, n - 1, -1):
+        d = depth.get(node_id, 0)
+        a, b = children[node_id]
+        if a >= n:
+            depth[a] = d + 1
+        if b >= n:
+            depth[b] = d + 1
+    heap = [(-depth.get(v, 0), v) for v in children if n_pending[v] == 0]
+    heapq.heapify(heap)
 
     def get_profile(child):
         if child < n:
@@ -289,15 +319,18 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
         if parent is not None:
             n_pending[parent] -= 1
             if n_pending[parent] == 0:
-                ready.append(parent)
+                heapq.heappush(heap, (-depth.get(parent, 0), parent))
 
+    chunk_nodes = max_batch * 4
+    max_inflight = 4
     pending = deque()
-    while ready or pending:
-        # drain everything currently ready into dispatches; host merges
-        # resolve inline and may ready their parents, so keep draining
-        while ready:
-            batch_nodes = ready
-            ready = []
+    while heap or pending:
+        # materialize + dispatch a bounded chunk of the deepest ready
+        # work; resolve the oldest in-flight batch when the dispatch
+        # window is full (or nothing is ready), which releases new work
+        if heap and len(pending) < max_inflight:
+            batch_nodes = [heapq.heappop(heap)[1]
+                           for _ in range(min(len(heap), chunk_nodes))]
 
             tasks = []
             for node_id in batch_nodes:
@@ -340,6 +373,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 align_into(dest, p1, p2, backend="numpy")
                 done[node_id] = dest
                 release(node_id)
+                _tick()
 
             for node_id, p1, p2 in sharded:
                 # column-striped cross-chip DP (align_into routes on size)
@@ -347,6 +381,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 align_into(dest, p1, p2, backend=params.backend)
                 done[node_id] = dest
                 release(node_id)
+                _tick()
 
             # group device tasks by bucket pair after the reference's
             # operand swap rule (nnz1*w2 < nnz2*w1)
@@ -368,7 +403,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
         # resolve the oldest in-flight batch (uploads/compute of younger
         # batches overlap this pull + host construct), then loop back to
         # dispatch whatever it readied
-        if pending:
+        elif pending:
             chunk, pnd = pending.popleft()
             for (node_id, p1, p2), res in zip(chunk, pnd.resolve()):
                 dest = Profile(params)
@@ -377,6 +412,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     dest.dev_counters = res.merged_dev
                 done[node_id] = dest
                 release(node_id)
+                _tick()
 
     assert len(done) == 1
     return done.popitem()[1]

@@ -12,6 +12,7 @@ recursion (mst_to_dendogram, MSTPrim.cpp:784-833) runs on host.
 
 import numpy as np
 
+from ..utils import logger
 from .tree_defs import U64_MASK, uint64_to_id
 
 _DMAX = np.finfo(np.float64).max
@@ -60,7 +61,14 @@ def mst_prim_tree(n_seq, row_fn, tree, lengths=None, measure=None):
     remaining[0] = False
     cur_prim_order = 1
 
-    for _ in range(n_seq - 1):
+    for c_seq in range(n_seq - 1):
+        if c_seq % 100 == 0:
+            # reference progress line (MSTPrim.cpp:427-429): fraction of
+            # the triangular candidate-scan work done, at -vv
+            logger.progress(
+                "Computing guide tree - "
+                f"{100.0 * (c_seq * (2 * n_seq - c_seq + 1) / 2) / (n_seq * (n_seq + 1) / 2):.1f}%"
+                f"    ({c_seq} of {n_seq})  ")
         ids = np.nonzero(remaining)[0]
         if prefilter is not None:
             ids = ids[prefilter(cur, ids, dist[ids])]

@@ -26,3 +26,19 @@ def verbose(msg, end="\n"):
 
 def debug(msg, end="\n"):
     log(LEVEL_DEBUG, msg, end)
+
+
+def progress(msg, level=LEVEL_DEBUG):
+    """\\r-style progress line (reference MSTPrim.cpp:427-429,
+    msa.cpp:412-424): rewrites the current line; shown at -vv like the
+    reference's show_log/very_verbose gates."""
+    if level in _enabled:
+        sys.stderr.write(msg + "\r")
+        sys.stderr.flush()
+
+
+def progress_done(level=LEVEL_DEBUG):
+    """Terminate a progress line."""
+    if level in _enabled:
+        sys.stderr.write("\n")
+        sys.stderr.flush()

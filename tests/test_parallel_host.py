@@ -125,3 +125,51 @@ def test_fast_tree_device_distances_parity(method, monkeypatch):
         return list(tree.tree)
 
     assert build("numpy") == build("jax")
+
+
+def test_apply_column_inserts_native_batch():
+    """Native batched gap-column insertion (apply_column_inserts_batch)
+    vs the per-member Python path - identical n_gaps on random members."""
+    import numpy as np
+
+    from famsa_tpu.core.sequence import encode_gapped
+    from famsa_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(123)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    w_old = 60
+    members = []
+    for k in range(50):
+        chars = ["-" if rng.random() < 0.3 else aa[rng.integers(0, 20)]
+                 for _ in range(w_old)]
+        if all(c == "-" for c in chars):
+            chars[0] = "A"
+        members.append(encode_gapped(f">s{k}", "".join(chars), k))
+
+    sel = np.sort(rng.choice(np.arange(1, w_old + 1), size=5, replace=False))
+    idxs = sel.astype(np.int64)
+    deltas = rng.integers(1, 4, size=5).astype(np.int64)
+    trail = 3
+
+    ref = [m.n_gaps.copy() for m in members]
+    for m in members:
+        m.apply_column_inserts(idxs, deltas, trail)
+    expected = [m.n_gaps.copy() for m in members]
+    for m, r in zip(members, ref):
+        m.n_gaps = r.copy()
+        m._cum = None
+
+    ptrs = np.fromiter((m.n_gaps.ctypes.data for m in members), np.uint64,
+                       len(members))
+    sizes = np.fromiter((m.size for m in members), np.int64, len(members))
+    lib.apply_column_inserts_batch(ptrs, sizes, len(members),
+                                   np.ascontiguousarray(idxs),
+                                   np.ascontiguousarray(deltas),
+                                   len(idxs), trail)
+    for m, e in zip(members, expected):
+        assert np.array_equal(m.n_gaps, e)
