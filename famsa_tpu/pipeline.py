@@ -324,6 +324,12 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     chunk_nodes = max_batch * 4
     max_inflight = 4
     pending = deque()
+    n_workers = min(os.cpu_count() or 1, 8)
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        host_pool = ThreadPoolExecutor(max_workers=n_workers)
+    else:
+        host_pool = None
     while heap or pending:
         # materialize + dispatch a bounded chunk of the deepest ready
         # work; resolve the oldest in-flight batch when the dispatch
@@ -368,12 +374,24 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 else:
                     host.append((node_id, p1, p2))
 
-            for node_id, p1, p2 in host:
-                dest = Profile(params)
-                align_into(dest, p1, p2, backend="numpy")
-                done[node_id] = dest
-                release(node_id)
-                _tick()
+            if len(host) > 1 and host_pool is not None:
+                # independent merges: the native DP releases the GIL, so
+                # a small pool overlaps DP with construct (the reference
+                # runs these tasks on its worker threads, msa.cpp:375)
+                futs = [(node_id, host_pool.submit(
+                    align_into, Profile(params), p1, p2, backend="numpy"))
+                    for node_id, p1, p2 in host]
+                for node_id, fut in futs:
+                    done[node_id] = fut.result()
+                    release(node_id)
+                    _tick()
+            else:
+                for node_id, p1, p2 in host:
+                    dest = Profile(params)
+                    align_into(dest, p1, p2, backend="numpy")
+                    done[node_id] = dest
+                    release(node_id)
+                    _tick()
 
             for node_id, p1, p2 in sharded:
                 # column-striped cross-chip DP (align_into routes on size)
@@ -414,6 +432,8 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 release(node_id)
                 _tick()
 
+    if host_pool is not None:
+        host_pool.shutdown()
     assert len(done) == 1
     return done.popitem()[1]
 
