@@ -27,26 +27,51 @@ REF_BIN = "/tmp/refbuild/bin/famsa"
 REF_CELLS = 7_473_478
 FALLBACK_BASELINE = 1.713e8
 
+# BASELINE.md's bar is >=10x a 32-core reference; this host has 2 cores.
+# The reference's DP stage scales near-linearly with threads (its thread
+# wavefront, profile_par.cpp:441-905, keeps all cores busy on merges this
+# size), so the 32-core-equivalent figure scales the live 2-thread
+# measurement by 32/threads.  Reported explicitly so the headline
+# vs_baseline (vs the LIVE local build) cannot be mistaken for the bar.
+TARGET_CORES = 32
+
 
 def measure_baseline():
+    """Returns (cells_per_sec, n_threads) of the live reference build."""
     ref_dir = "/root/reference/test/adeno_fiber"
+    nthr = os.cpu_count() or 2
     if not os.path.exists(REF_BIN):
-        return FALLBACK_BASELINE
+        return FALLBACK_BASELINE, 2
     try:
         stats = "/tmp/ref_bench_stats.txt"
         subprocess.run(
-            [REF_BIN, "-t", str(os.cpu_count() or 2), "-gt", "import",
+            [REF_BIN, "-t", str(nthr), "-gt", "import",
              f"{ref_dir}/sl.dnd", "-refine_mode", "off", "-stats", stats,
              f"{ref_dir}/adeno_fiber", "/tmp/ref_bench_out.fasta"],
             check=True, capture_output=True, timeout=300)
         for line in open(stats):
             if line.startswith("time.alignment="):
                 t = float(line.split("=")[1])
-                return REF_CELLS / t
+                return REF_CELLS / t, nthr
     except Exception as e:
         print(f"baseline re-measure failed ({e}); using recorded value",
               file=sys.stderr)
-    return FALLBACK_BASELINE
+    return FALLBACK_BASELINE, 2
+
+
+# v5e peaks for the roofline lines (one TensorCore: 4 MXUs of 128x128
+# bf16 MACs + an 8x128 VPU with 4 ALU sub-units, ~940 MHz): MXU ~197
+# TFLOP/s bf16, VPU ~ 8*128*4*0.94e9 ~ 3.9e12 i32 ops/s.
+VPU_PEAK_OPS = 3.9e12
+MXU_PEAK_FLOPS = 1.97e14
+
+# i32 VPU ops per DP cell in the production single-word + MXU-tb config,
+# counted from the kernel row body (ops/dp_pallas.py:_make_kernel): D/H/V
+# channel pair arithmetic (p_add ~4 ops, p_gt ~4, p_where 2), the
+# log-depth H cummax (~13 rounds x 10 ops amortized per lane), block
+# prologue cost builds, packing.  The MXU-tb variant moves the 30-term
+# match MAC onto the MXU (~60 matmul flops/cell not counted here).
+DP_OPS_PER_CELL_EST = 160
 
 
 def _random_profile(rng, params, n_seqs, n_cols):
@@ -77,8 +102,10 @@ def run_e2e_guard():
     from famsa_tpu.cli import main as cli_main
     ref_dir = "/root/reference/test/adeno_fiber"
     t0 = time.perf_counter()
-    cli_main(["-gt", "import", f"{ref_dir}/upgma.dnd", "-refine_mode",
-              "off", f"{ref_dir}/adeno_fiber", "/tmp/bench_e2e.fasta"])
+    rc = cli_main(["-gt", "import", f"{ref_dir}/upgma.dnd", "-refine_mode",
+                   "off", f"{ref_dir}/adeno_fiber", "/tmp/bench_e2e.fasta"])
+    if rc != 0:
+        raise SystemExit(f"E2E guard: cli returned {rc}")
     dt_e2e = time.perf_counter() - t0
     ok = open("/tmp/bench_e2e.fasta", "rb").read() == \
         open(f"{ref_dir}/upgma.no_refine.fasta", "rb").read()
@@ -175,6 +202,14 @@ def main():
     rate = cells / dt
     print(f"dp kernel: batch={batch} x {wp}^2 in {dt*1e3:.2f} ms -> "
           f"{rate:.3e} cells/s", file=sys.stderr)
+    mfu_vpu = rate * DP_OPS_PER_CELL_EST / VPU_PEAK_OPS
+    print(f"dp roofline: ~{DP_OPS_PER_CELL_EST} i32 VPU ops/cell -> "
+          f"{rate * DP_OPS_PER_CELL_EST:.2e} ops/s = "
+          f"{100 * mfu_vpu:.1f}% of v5e VPU peak ({VPU_PEAK_OPS:.1e}); "
+          f"MXU carries the 30-term match MAC "
+          f"({rate * 60:.1e} flops/s = "
+          f"{100 * rate * 60 / MXU_PEAK_FLOPS:.2f}% of MXU peak)",
+          file=sys.stderr)
 
     if on_tpu and os.environ.get("BENCH_LCS", "1") == "1":
         # secondary metric (stderr): distance-kernel throughput - the
@@ -198,19 +233,33 @@ def main():
         for r in range(1, nrows + 1):
             be.row(r)
         dt_lcs = time.perf_counter() - t0
+        prate = nrows * nq / dt_lcs
         print(f"lcs distance rows: {nrows} x {nq} pairs (len {ln}) in "
-              f"{dt_lcs*1e3:.1f} ms -> {nrows*nq/dt_lcs:.3e} pairs/s",
+              f"{dt_lcs*1e3:.1f} ms -> {prate:.3e} pairs/s",
+              file=sys.stderr)
+        # LCS roofline: the bit-parallel update is ~12 i32 VPU ops per
+        # u32 word per streamed symbol (ops/lcs_pallas.py inner loop);
+        # a pair at len L costs ~L * ceil(L/32) word-updates
+        words = ln * -(-ln // 32)
+        lcs_ops = prate * words * 12
+        print(f"lcs roofline: ~{words * 12} i32 ops/pair -> "
+              f"{lcs_ops:.2e} ops/s = "
+              f"{100 * lcs_ops / VPU_PEAK_OPS:.1f}% of v5e VPU peak",
               file=sys.stderr)
 
-    baseline = measure_baseline()
-    print(f"baseline (reference famsa, this host): {baseline:.3e} cells/s",
-          file=sys.stderr)
+    baseline, nthr = measure_baseline()
+    base32 = baseline * TARGET_CORES / nthr
+    print(f"baseline (reference famsa, this host, {nthr} threads): "
+          f"{baseline:.3e} cells/s; {TARGET_CORES}-core-equivalent "
+          f"(linear scale): {base32:.3e} cells/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "profile_cell_updates_per_sec",
         "value": rate,
         "unit": "cells/s",
         "vs_baseline": rate / baseline,
+        "baseline_threads": nthr,
+        "vs_32core_equiv": rate / base32,
     }))
 
 

@@ -12,6 +12,17 @@ from .utils import logger
 
 
 def main(argv=None):
+    """Top-level entry with the reference's error handling
+    (famsa.cpp:160-163: catch runtime errors, print a one-line
+    "[ERROR] ..." message, exit -1 instead of a traceback)."""
+    try:
+        return _run(argv)
+    except (RuntimeError, OSError, ValueError) as err:
+        sys.stderr.write(f"\n[ERROR] {err}\n")
+        return -1
+
+
+def _run(argv=None):
     if argv is None:
         argv = sys.argv[1:]
 

@@ -129,3 +129,15 @@ def test_fasta_streaming_chunk_invariance(tmp_path, monkeypatch):
     assert io_service.load_fasta_records(str(gz)) == want
     monkeypatch.setattr(io_service, "READ_CHUNK", 11)
     assert list(io_service.iter_fasta_records(str(gz))) == want
+
+
+def test_cli_error_handling(tmp_path, capsys):
+    """Reference famsa.cpp:160-163: runtime errors print one
+    "[ERROR] ..." line and exit -1 - never a traceback."""
+    from famsa_tpu.cli import main as cli_main
+    rc = cli_main([str(tmp_path / "no_such_input.fasta"),
+                   str(tmp_path / "out.fasta")])
+    assert rc == -1
+    err = capsys.readouterr().err
+    assert "[ERROR]" in err
+    assert "Traceback" not in err
