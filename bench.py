@@ -227,22 +227,35 @@ def main():
             s.resize(lmax)
         be = get_distance_backend(seqs, DIST_INDEL075_DIV_LCS, np.float64,
                                   backend="jax")
-        be.row(0)                                   # warm / compile
-        nrows = 32
+        # measure FULL row-block dispatches (the production sweep shape;
+        # single be.row() calls after the first are served from the
+        # prefetch cache and would time only the host transform)
+        nrows = be.block_rows
+        ids = np.arange(nrows)
+        be._lcs_block(ids)                          # warm / compile
+        n_iter = 3
         t0 = time.perf_counter()
-        for r in range(1, nrows + 1):
-            be.row(r)
-        dt_lcs = time.perf_counter() - t0
+        for _ in range(n_iter):
+            be._lcs_block(ids)
+        dt_lcs = (time.perf_counter() - t0) / n_iter
         prate = nrows * nq / dt_lcs
-        print(f"lcs distance rows: {nrows} x {nq} pairs (len {ln}) in "
+        print(f"lcs kernel block: {nrows} x {nq} pairs (len {ln}) in "
               f"{dt_lcs*1e3:.1f} ms -> {prate:.3e} pairs/s",
               file=sys.stderr)
-        # LCS roofline: the bit-parallel update is ~12 i32 VPU ops per
-        # u32 word per streamed symbol (ops/lcs_pallas.py inner loop);
-        # a pair at len L costs ~L * ceil(L/32) word-updates
+        t0 = time.perf_counter()
+        be.rows_batch(ids)                          # kernel + transform
+        dt_e2e = time.perf_counter() - t0
+        print(f"lcs rows incl. f64 transform: {nrows * nq / dt_e2e:.3e} "
+              f"pairs/s", file=sys.stderr)
+        # LCS roofline: the bit-parallel update is ~9.5 i32 VPU ops per
+        # u32 word per streamed symbol (ops/lcs_pallas.py one_pos);
+        # a pair at len L costs L * ceil(L/32) word-updates.  This bound
+        # (~1.4e8 pairs/s at len 300) is the i32 VPU speed of light for
+        # the exact Hyyro recurrence; beating it needs a different
+        # algorithm, not a better kernel.
         words = ln * -(-ln // 32)
-        lcs_ops = prate * words * 12
-        print(f"lcs roofline: ~{words * 12} i32 ops/pair -> "
+        lcs_ops = prate * words * 9.5
+        print(f"lcs roofline: ~{int(words * 9.5)} i32 ops/pair -> "
               f"{lcs_ops:.2e} ops/s = "
               f"{100 * lcs_ops / VPU_PEAK_OPS:.1f}% of v5e VPU peak",
               file=sys.stderr)

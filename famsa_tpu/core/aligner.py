@@ -57,6 +57,16 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
                                      params.guided_alignment_radius)
                 lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
                 hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+                if os.environ.get("FAMSA_TPU_GIANT", "1") == "1":
+                    # single guided merges ride the width-agnostic
+                    # staggered-fold kernel: the batched kernel at sb=1
+                    # costs one Mosaic compile per bucket pair
+                    from ..ops.dp_giant import (dp_profile_giant_paths,
+                                                lw_for)
+                    if lw_for(p2.width) is not None and p1.width <= 32768:
+                        return dp_profile_giant_paths(
+                            params, p1, p2, bands=(lo, hi),
+                            interpret=_interp)[0]
                 return dp_profile_pallas_paths_async(
                     params, [(p1, p2)], bands=[(lo, hi)],
                     interpret=_interp).resolve()[0]

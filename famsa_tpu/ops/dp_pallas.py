@@ -1398,8 +1398,10 @@ class PendingPaths:
             full = [int(dir0[k])] + [int(x) for x in e[:stop]]
             full.reverse()
             md = None
-            if self._merged is not None:
-                # lazy device-side view (no slice op, no pull)
+            if self._merged is not None and stop + 1 <= self._merged.shape[1]:
+                # lazy device-side view (no slice op, no pull); giant
+                # results are truncated to a fixed row count, so a wider
+                # merge than that hands out no device counters
                 md = MergedRef(self._merged, k, stop + 1)
             out.append(JaxPathResult(full[1:], int(total[k]), md))
         return out

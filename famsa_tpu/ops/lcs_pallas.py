@@ -117,13 +117,20 @@ def _make_kernel(w, length, ql):
     return kernel
 
 
-def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False):
+def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False,
+                     nb_run=None):
     """table: [NB, 32*W, 8, QL] int32 query masks; syms: [R, L] int32.
 
     Returns [NB, R, 8, QL] int32 LCS lengths.  Plain traceable function
     (call this from inside other jitted programs - a nested jit around a
     pallas_call inside lax.scan overflows the Python recursion limit
-    during lowering)."""
+    during lowering).
+
+    nb_run: optional TRACED number of query blocks to actually compute
+    (dynamic grid dimension - one compiled program regardless of the
+    value); output blocks >= nb_run are garbage.  Triangular sweeps
+    (SLINK/UPGMA row prefixes) pass ceil((ref+block)/8QL) and skip the
+    upper half of the all-pairs work the full grid would do."""
     nb = table.shape[0]
     r = syms.shape[0]
     unroll = _unroll_for(w)
@@ -135,7 +142,8 @@ def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False):
         length = lpad
     syms3 = syms.reshape(r, 1, length)
     z = np.int32(0)
-    grid = (nb, r)   # minor axis = refs: mask block stays resident
+    # minor axis = refs: mask block stays resident
+    grid = (nb if nb_run is None else nb_run, r)
     out = pl.pallas_call(
         _make_kernel(w, length, ql),
         grid=grid,
@@ -159,11 +167,12 @@ _lcs_pallas = jax.jit(_lcs_pallas_impl,
 
 
 @functools.partial(jax.jit, static_argnames=("w", "length", "ql", "interpret"))
-def _lcs_pallas_u16(table, syms, w, length, ql, interpret=False):
+def _lcs_pallas_u16(table, syms, w, length, ql, interpret=False,
+                    nb_run=None):
     """As _lcs_pallas, but returns uint16 (valid for length < 65536):
     halves the device->host pull."""
-    return _lcs_pallas_impl(table, syms, w, length, ql,
-                            interpret=interpret).astype(jnp.uint16)
+    return _lcs_pallas_impl(table, syms, w, length, ql, interpret=interpret,
+                            nb_run=nb_run).astype(jnp.uint16)
 
 
 def pack_query_table(padded: np.ndarray, ql: int):
@@ -184,15 +193,24 @@ def pack_query_table(padded: np.ndarray, ql: int):
 
 
 def lcs_rows(table_dev, syms: np.ndarray, w: int, ql: int, n: int,
-             interpret=False) -> np.ndarray:
+             interpret=False, n_queries=None) -> np.ndarray:
     """LCS of each of the R symbol rows vs all queries in table_dev.
 
     syms: [R, L] int32 (pad symbols >= 20 are no-ops).  Returns [R, n]
     int64.  Results cross the device boundary as u16 (LCS <= L < 65536)
-    to halve the pull."""
+    to halve the pull.  n_queries: only the first n_queries columns are
+    needed - query blocks beyond them are skipped via the dynamic grid
+    (the triangular-sweep half-work saving); columns n_queries..n of the
+    result are garbage."""
     fn = _lcs_pallas_u16 if syms.shape[1] < 65536 else _lcs_pallas
+    nb = table_dev.shape[0]
+    nb_run = None
+    if n_queries is not None:
+        need = -(-n_queries // (8 * ql))
+        if need < nb:
+            nb_run = np.int32(need)
     out = fn(table_dev, jnp.asarray(syms), w, syms.shape[1], ql,
-             interpret=interpret)
+             interpret=interpret, nb_run=nb_run)
     r = syms.shape[0]
     res = np.asarray(out).astype(np.int64).transpose(1, 0, 2, 3).reshape(r, -1)
     return res[:, :n]
@@ -214,6 +232,7 @@ class PallasDistanceBackend:
         self.n = n
         self._cache_base = -1
         self._cache = None
+        self._cache_cols = 0
         if n:
             lmax = max(s.data_size for s in sequences)
             padded = np.full((n, lmax), 22, dtype=np.int8)
@@ -227,31 +246,46 @@ class PallasDistanceBackend:
             self.lengths = np.array([s.length for s in sequences],
                                     dtype=np.int64)
 
-    def _lcs_block(self, ref_ids, pad_to=None):
+    def _lcs_block(self, ref_ids, pad_to=None, n_queries=None):
         syms = self.padded[ref_ids].astype(np.int32)
         if pad_to is not None and len(ref_ids) < pad_to:
             syms = np.vstack([syms,
                               np.tile(syms[-1:], (pad_to - len(syms), 1))])
-        out = lcs_rows(self.table_dev, syms, self.w, self.ql, self.n)
+        out = lcs_rows(self.table_dev, syms, self.w, self.ql, self.n,
+                       n_queries=n_queries)
         return out[:len(ref_ids)]
 
-    def _lcs_all(self, ref_idx):
+    def _lcs_all(self, ref_idx, need_cols=None):
+        need = self.n if need_cols is None else need_cols
         if self._cache is not None and \
-                self._cache_base <= ref_idx < self._cache_base + len(self._cache):
+                self._cache_base <= ref_idx < self._cache_base + len(self._cache) \
+                and self._cache_cols >= need:
             return self._cache[ref_idx - self._cache_base]
         sequential = self._cache is None or \
             ref_idx == self._cache_base + len(self._cache)
         if sequential:
-            # SLINK/UPGMA-style forward sweep: prefetch a whole row block
+            # SLINK/UPGMA-style forward sweep: prefetch a whole row
+            # block.  A prefix sweep (row_prefix: row i reads cols < i)
+            # needs only cols < base + block_rows: the dynamic grid
+            # skips the upper-triangle query blocks - the same
+            # half-work saving as the reference's triangular loops
             ids = np.arange(ref_idx, min(ref_idx + self.block_rows, self.n))
-            self._cache = self._lcs_block(ids, pad_to=self.block_rows)
+            ncq = self.n if need_cols is None \
+                else min(self.n, ref_idx + self.block_rows)
+            self._cache = self._lcs_block(ids, pad_to=self.block_rows,
+                                          n_queries=ncq)
             self._cache_base = ref_idx
+            self._cache_cols = ncq
             return self._cache[0]
         # random access (medoid seeds, CLARANS): one 8-row-padded call
         return self._lcs_block(np.array([ref_idx]), pad_to=8)[0]
 
     def row(self, ref_idx, query_ids=None):
-        lcs = self._lcs_all(ref_idx)
+        if query_ids is None:
+            lcs = self._lcs_all(ref_idx)
+        else:
+            need = int(np.max(query_ids)) + 1 if len(query_ids) else 0
+            lcs = self._lcs_all(ref_idx, need_cols=need)
         ref_len = int(self.sequences[ref_idx].length)
         if query_ids is None:
             return self._transform(self.measure, lcs, ref_len, self.lengths,

@@ -230,13 +230,18 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     from .ops.dp_jax import _bucket, dp_profile_jax_batched
 
     pallas_mode = os.environ.get("FAMSA_TPU_DP_PALLAS", "1")
-    if (_jax.default_backend() == "tpu" and pallas_mode == "1") \
-            or pallas_mode == "interpret":
+    use_pallas = (_jax.default_backend() == "tpu" and pallas_mode == "1") \
+        or pallas_mode == "interpret"
+    use_giant = use_pallas and os.environ.get("FAMSA_TPU_GIANT", "1") == "1"
+    giant_min_cells = int(float(os.environ.get("FAMSA_TPU_GIANT_MIN_CELLS",
+                                               "4e6")))
+    if use_pallas:
         # Mosaic DP + on-device traceback: only O(W) path bytes are pulled;
         # async dispatch pipelines the level's batches through the tunnel.
         # FAMSA_TPU_DP_PALLAS=interpret forces this dispatch path through
         # the pallas interpreter on CPU (CI coverage of the production
         # scheduler + upload encodings without a TPU).
+        from .ops.dp_giant import dp_profile_giant_paths_async, lw_for
         from .ops.dp_pallas import dp_profile_pallas_paths_async
         _interp = pallas_mode == "interpret"
 
@@ -253,6 +258,18 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                                                  interpret=_interp,
                                                  dev_pairs=dev,
                                                  want_merged=True)
+
+        def _dispatch_giant(params, p1, p2):
+            dev1, dev2 = p1.dev_counters, p2.dev_counters
+            p1.dev_counters = None
+            p2.dev_counters = None
+            return dp_profile_giant_paths_async(
+                params, p1, p2, dev1=dev1, dev2=dev2,
+                want_merged=True, interpret=_interp)
+
+        def _giant_ok(p1, p2):
+            return (lw_for(p2.width) is not None and p1.width <= 32768
+                    and p1.width * p2.width >= giant_min_cells)
     else:
         class _SyncPending:
             def __init__(self, results):
@@ -413,6 +430,21 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 groups.setdefault(key, []).append((node_id, p1, p2))
 
             for key, items in groups.items():
+                if use_giant and (len(items) < 5 or max(key) > 2048):
+                    # small groups would run the batched kernel at sb=1
+                    # (1/8 sublane utilization, one Mosaic compile per
+                    # bucket pair); the width-agnostic staggered-fold
+                    # kernel covers them all with a handful of compiled
+                    # programs (ops/dp_giant.py)
+                    rest = []
+                    for node_id, p1, p2 in items:
+                        if _giant_ok(p1, p2):
+                            pending.append((
+                                [(node_id, p1, p2)],
+                                _dispatch_giant(params, p1, p2)))
+                        else:
+                            rest.append((node_id, p1, p2))
+                    items = rest
                 for k0 in range(0, len(items), max_batch):
                     chunk = items[k0:k0 + max_batch]
                     pending.append((chunk, _dispatch(
