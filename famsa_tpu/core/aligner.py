@@ -63,7 +63,7 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
                     # costs one Mosaic compile per bucket pair
                     from ..ops.dp_giant import (dp_profile_giant_paths,
                                                 lw_for)
-                    if lw_for(p2.width) is not None and p1.width <= 32768:
+                    if lw_for(p2.width) is not None and p1.width <= 16384:
                         return dp_profile_giant_paths(
                             params, p1, p2, bands=(lo, hi),
                             interpret=_interp)[0]

@@ -1,8 +1,8 @@
-"""Run-vectorized profile construction.
+"""Vectorized profile construction.
 
 Equivalent to core/construct.py (the validated per-column port) but
-processes the traceback path as maximal D/H/V runs with vectorized
-counter/score merging - O(#runs) Python steps instead of O(width).
+merges counters/scores in ONE numpy pass over the whole path - O(1)
+Python steps per merge (_merge_columns) instead of O(width) or O(#runs).
 
 Key simplification (derived from the reference's gap-category recurrence,
 profile.cpp:1116-1146): within a gap run the per-column category counts
@@ -16,7 +16,7 @@ so whole runs merge with three vectorized adds."""
 import numpy as np
 
 from ..native import get_lib
-from .construct import _solve_starting, _trace_path
+from .construct import _trace_path
 from .defs import (GAP, GAP_EXT, GAP_OPEN, GAP_TERM_EXT, GAP_TERM_OPEN,
                    NO_AMINOACIDS, NO_SYMBOLS, SCORE_DTYPE)
 from .dp import D, H, V
@@ -37,19 +37,105 @@ def _gap_ptr_cache(profile):
     return profile._gap_ptrs, profile._gap_sizes
 
 
-def _path_runs(path):
-    """Yield (dir, start_index, length) maximal runs."""
-    runs = []
-    k = 0
-    n = len(path)
-    while k < n:
-        d = path[k]
-        j = k + 1
-        while j < n and path[j] == d:
-            j += 1
-        runs.append((d, k, j - k))
-        k = j
-    return runs
+def _merge_columns(path, counters1, scores1, counters2, scores2,
+                   w1, w2, size1, size2, go, ge, gto, gte):
+    """Fully vectorized column merge: one numpy pass over the path
+    instead of a Python loop over D/H/V runs (chained guide trees have
+    hundreds of runs per merge; the run loop's ~15 numpy calls per run
+    dominated the 100k alignment stage).  Exact port of
+    core/construct.py's per-column recurrence using the closed forms in
+    the module docstring; transfers are applied to the OUTPUT at the
+    target column's consumption step instead of mutating the parents
+    (each parent column is consumed exactly once, and later
+    _solve_starting reads only transfer-invariant sums)."""
+    e = np.asarray(path, dtype=np.int64)
+    S = len(e)
+    isH = e == H
+    isV = e == V
+    adv1 = ~isH
+    adv2 = ~isV
+    i_k = np.cumsum(adv1)
+    j_k = np.cumsum(adv2)
+    prev = np.empty(S, np.int64)
+    prev[0] = D
+    prev[1:] = e[:-1]
+
+    counters = np.zeros((S + 1, NO_SYMBOLS), dtype=np.int64)
+    scores = np.zeros((S + 1, NO_SYMBOLS), dtype=SCORE_DTYPE)
+    colmap1 = np.zeros(w1 + 1, dtype=np.int64)
+    colmap2 = np.zeros(w2 + 1, dtype=np.int64)
+    karr = np.arange(S)
+
+    def side(c, s, w, size, isR, run_start, pos, colmap, adv):
+        ak = np.nonzero(adv)[0]
+        pc = pos[ak]
+        counters[ak + 1] += c[pc]
+        scores[ak + 1] += s[pc]
+        colmap[pc] = ak + 1
+        rk = np.nonzero(isR)[0]
+        if len(rk) == 0:
+            return
+        st = np.nonzero(run_start)[0]
+        pos_s = pos[st]
+        nxt = np.minimum(pos_s + 1, w)
+        on = pos_s < w
+        t = np.where(on & (pos_s > 0), c[nxt, GAP_OPEN], 0)
+        tt = np.where(on, c[nxt, GAP_TERM_OPEN], 0)
+        sel = (t != 0) | (tt != 0)
+        if sel.any():
+            mcs = colmap[nxt[sel]]
+            ts, tts = t[sel], tt[sel]
+            counters[mcs, GAP_EXT] += ts
+            counters[mcs, GAP_OPEN] -= ts
+            counters[mcs, GAP_TERM_EXT] += tts
+            counters[mcs, GAP_TERM_OPEN] -= tts
+            scores[mcs, :NO_AMINOACIDS] += (ts * (ge - go)
+                                            + tts * (gte - gto))[:, None]
+
+        # run-start categories (_solve_starting, all three branches)
+        cpos = c[pos_s]
+        at0 = pos_s == 0
+        atw = pos_s >= w
+        te1 = np.where(at0, 0, cpos[:, GAP_TERM_OPEN] + cpos[:, GAP_TERM_EXT])
+        to1 = np.where(at0, size,
+                       np.where(atw, size - te1, c[nxt, GAP_TERM_OPEN]))
+        e1 = np.where(at0 | atw, 0,
+                      cpos[:, GAP_OPEN] + cpos[:, GAP_EXT])
+        o1 = np.where(at0 | atw, 0, size - e1 - to1 - te1)
+        te2 = to1 + te1
+        e2 = o1 + e1
+        o2 = size - e2 - te2
+        bnd_s = at0 | atw
+
+        # per-column values via run id + 1-based position in run
+        seg = np.maximum.accumulate(np.where(run_start, karr, -1))
+        q = karr - seg + 1
+        run_id = np.cumsum(run_start) - 1
+        rid = run_id[rk]
+        qq = q[rk]
+        o = np.where(qq == 1, o1[rid], np.where(qq == 2, o2[rid], 0))
+        ee = np.where(qq == 1, e1[rid],
+                      np.where(qq == 2, e2[rid], size - te2[rid]))
+        to = np.where(qq == 1, to1[rid], 0)
+        te = np.where(qq == 1, te1[rid], te2[rid])
+        cont = (qq > 1) & bnd_s[rid]
+        o = np.where(cont, 0, o)
+        ee = np.where(cont, 0, ee)
+        to = np.where(cont, 0, to)
+        te = np.where(cont, size, te)
+        counters[rk + 1, GAP_OPEN] += o
+        counters[rk + 1, GAP_EXT] += ee
+        counters[rk + 1, GAP_TERM_OPEN] += to
+        counters[rk + 1, GAP_TERM_EXT] += te
+        counters[rk + 1, GAP] += size
+        gap_cost = o * go + ee * ge + to * gto + te * gte
+        scores[rk + 1, :NO_AMINOACIDS] += gap_cost[:, None]
+
+    side(counters1, scores1, w1, size1, isH, isH & (prev != H), i_k,
+         colmap1, adv1)
+    side(counters2, scores2, w2, size2, isV, isV & (prev != V), j_k,
+         colmap2, adv2)
+    return counters, scores, colmap1, colmap2
 
 
 def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, res):
@@ -59,138 +145,20 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
 
     w1, w2 = profile1.width, profile2.width
     size1, size2 = len(profile1.data), len(profile2.data)
-    counters1, counters2 = profile1.counters, profile2.counters
-    scores1, scores2 = profile1.scores, profile2.scores
 
     path, total_score = _trace_path(res, w1, w2)
     width = len(path)
     dest.total_score = total_score
     dest.width = width
 
-    counters = np.zeros((width + 1, NO_SYMBOLS), dtype=np.int64)
-    scores = np.zeros((width + 1, NO_SYMBOLS), dtype=SCORE_DTYPE)
+    counters, scores, colmap1, colmap2 = _merge_columns(
+        path, profile1.counters, profile1.scores,
+        profile2.counters, profile2.scores,
+        w1, w2, size1, size2, go, ge, gto, gte)
 
-    colmap1 = np.zeros(w1 + 1, dtype=np.int64)
-    colmap2 = np.zeros(w2 + 1, dtype=np.int64)
-
-    tr1 = tr1_term = 0
-    tr2 = tr2_term = 0
-    i = j = 0
-
-    def apply_transfer(which, col):
-        nonlocal tr1, tr1_term, tr2, tr2_term
-        if which == 1:
-            t, tt = tr1, tr1_term
-            cnt, sc = counters1, scores1
-        else:
-            t, tt = tr2, tr2_term
-            cnt, sc = counters2, scores2
-        if t or tt:
-            cnt[col, GAP_EXT] += t
-            cnt[col, GAP_OPEN] -= t
-            cnt[col, GAP_TERM_EXT] += tt
-            cnt[col, GAP_TERM_OPEN] -= tt
-            sc[col, :NO_AMINOACIDS] += t * (ge - go) + tt * (gte - gto)
-        if which == 1:
-            tr1 = tr1_term = 0
-        else:
-            tr2 = tr2_term = 0
-
-    def gap_run_categories(first, card, length):
-        """Per-column (open, ext, term_open, term_ext) for a gap run of
-        `length` columns whose first column has categories `first`."""
-        o1, e1, to1, te1 = first
-        cats = [first]
-        if length >= 2:
-            te2 = to1 + te1
-            e2 = o1 + e1
-            o2 = card - e2 - te2
-            cats.append((o2, e2, 0, te2))
-        if length >= 3:
-            te3 = te2
-            e3 = o2 + e2
-            o3 = card - e3 - te3
-            cats.append((o3, e3, 0, te3))
-            # from col 4 on the recurrence is stationary:
-            # te const, ext_{m+1} = open_m + ext_m = card - te, open = 0
-            if length >= 4:
-                te_c = te3
-                e_c = o3 + e3
-                o_c = card - e_c - te_c
-                cats.extend([(o_c, e_c, 0, te_c)] * (length - 3))
-        return cats
-
-    for dir_, start, length in _path_runs(path):
-        cols = np.arange(start + 1, start + 1 + length)
-        if dir_ == D:
-            i_range = np.arange(i + 1, i + 1 + length)
-            j_range = np.arange(j + 1, j + 1 + length)
-            apply_transfer(1, i + 1)
-            apply_transfer(2, j + 1)
-            counters[cols] += counters1[i_range]
-            counters[cols] += counters2[j_range]
-            scores[cols] += scores1[i_range]
-            scores[cols] += scores2[j_range]
-            colmap1[i_range] = cols
-            colmap2[j_range] = cols
-            i += length
-            j += length
-        elif dir_ == H:
-            # gap run in profile1; consumes j+1..j+length of profile2
-            boundary = (i == w1 or i == 0)
-            o, e, to, te, t, tt = _solve_starting(i, w1, size1, counters1)
-            tr1 += t
-            tr1_term = tt
-            if boundary:
-                cats = [(o, e, to, te)]
-                cats.extend([(0, 0, 0, size1)] * (length - 1))
-            else:
-                cats = gap_run_categories((o, e, to, te), size1, length)
-            cat_arr = np.array(cats, dtype=np.int64)
-            counters[cols, GAP_OPEN] += cat_arr[:, 0]
-            counters[cols, GAP_EXT] += cat_arr[:, 1]
-            counters[cols, GAP_TERM_OPEN] += cat_arr[:, 2]
-            counters[cols, GAP_TERM_EXT] += cat_arr[:, 3]
-            counters[cols, GAP] += size1
-            gap_cost = (cat_arr[:, 0] * go + cat_arr[:, 1] * ge
-                        + cat_arr[:, 2] * gto + cat_arr[:, 3] * gte)
-            scores[np.ix_(cols, np.arange(NO_AMINOACIDS))] += gap_cost[:, None]
-
-            apply_transfer(2, j + 1)
-            j_range = np.arange(j + 1, j + 1 + length)
-            counters[cols] += counters2[j_range]
-            scores[cols] += scores2[j_range]
-            colmap2[j_range] = cols
-            j += length
-        else:
-            boundary = (j == w2 or j == 0)
-            o, e, to, te, t, tt = _solve_starting(j, w2, size2, counters2)
-            tr2 += t
-            tr2_term = tt
-            if boundary:
-                cats = [(o, e, to, te)]
-                cats.extend([(0, 0, 0, size2)] * (length - 1))
-            else:
-                cats = gap_run_categories((o, e, to, te), size2, length)
-            cat_arr = np.array(cats, dtype=np.int64)
-
-            apply_transfer(1, i + 1)
-            i_range = np.arange(i + 1, i + 1 + length)
-            counters[cols] += counters1[i_range]
-            scores[cols] += scores1[i_range]
-            colmap1[i_range] = cols
-            i += length
-
-            counters[cols, GAP_OPEN] += cat_arr[:, 0]
-            counters[cols, GAP_EXT] += cat_arr[:, 1]
-            counters[cols, GAP_TERM_OPEN] += cat_arr[:, 2]
-            counters[cols, GAP_TERM_EXT] += cat_arr[:, 3]
-            counters[cols, GAP] += size2
-            gap_cost = (cat_arr[:, 0] * go + cat_arr[:, 1] * ge
-                        + cat_arr[:, 2] * gto + cat_arr[:, 3] * gte)
-            scores[np.ix_(cols, np.arange(NO_AMINOACIDS))] += gap_cost[:, None]
-
-    assert i == w1 and j == w2
+    # every parent column must have been consumed exactly once
+    assert len(path) == 0 or (colmap1[w1] > 0 or w1 == 0)
+    assert len(path) == 0 or (colmap2[w2] > 0 or w2 == 0)
 
     # apply only the INSERTED gap-column runs to member sequences (the
     # reference's FinalizeGaps discipline, profile.cpp:1052-1106): a side
@@ -229,13 +197,16 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
     apply_side(profile1, colmap1, w1)
 
     dest.data = profile2.data + profile1.data
-    if profile2._gap_ptrs is not None and profile1._gap_ptrs is not None:
+    if len(dest.data) > 256:
         # carry the member-pointer cache forward: one concatenate instead
-        # of an O(card) per-member rebuild at the next merge
-        dest._gap_ptrs = np.concatenate([profile2._gap_ptrs,
-                                         profile1._gap_ptrs])
-        dest._gap_sizes = np.concatenate([profile2._gap_sizes,
-                                          profile1._gap_sizes])
+        # of an O(card) per-member rebuild at the next merge.  Missing
+        # parent caches (leaves, small host merges) are built here while
+        # they are CHEAP - waiting until both parents happen to have one
+        # meant a full O(card) rebuild on every prof-leaf chain merge
+        ptrs2, sizes2 = _gap_ptr_cache(profile2)
+        ptrs1, sizes1 = _gap_ptr_cache(profile1)
+        dest._gap_ptrs = np.concatenate([ptrs2, ptrs1])
+        dest._gap_sizes = np.concatenate([sizes2, sizes1])
     profile1.data = []
     profile2.data = []
 

@@ -6,14 +6,30 @@ recurrence for cardinality-1 profiles, incl. guided bands)."""
 
 import numpy as np
 
-from ..native import get_lib, unpack_dirs
+from ..native import get_lib
 from . import dp as dp_np
 from .dp import DPResult, find_row_ranges
 from .profile import Profile
 
 
 class NativeDPResult:
-    __slots__ = ("dirs_D", "dirs_H", "dirs_V", "last")
+    __slots__ = ("dirs_D", "dirs_H", "dirs_V", "last", "path", "total")
+
+
+def _finish(lib, dirs, w1, w2, last):
+    """Native traceback on the packed direction matrix: construct's
+    _trace_path short-circuits on .path, skipping both the O(W^2)
+    unpack and the per-step Python walk."""
+    res = NativeDPResult()
+    res.last = (int(last[0]), int(last[1]), int(last[2]))
+    buf = np.empty(w1 + w2 + 2, dtype=np.int64)
+    tot = np.empty(1, dtype=np.int64)
+    n = lib.trace_path(dirs, w1, w2, res.last[0], res.last[1], res.last[2],
+                       buf, tot)
+    res.path = buf[1:n]
+    res.total = int(tot[0])
+    res.dirs_D = res.dirs_H = res.dirs_V = None
+    return res
 
 
 def _row_ranges_array(params, w1, column_mapping1, column_mapping2):
@@ -41,10 +57,7 @@ def dp_seq_seq(params, profile1, profile2):
                    np.ascontiguousarray(params.score_matrix),
                    params.gap_open, params.gap_ext,
                    params.gap_term_open, params.gap_term_ext, dirs, last)
-    res = NativeDPResult()
-    res.dirs_D, res.dirs_H, res.dirs_V = unpack_dirs(dirs)
-    res.last = (int(last[0]), int(last[1]), int(last[2]))
-    return res
+    return _finish(lib, dirs, w1, w2, last)
 
 
 def _dp_profile(params, profile1, profile2, column_mapping1, column_mapping2):
@@ -62,10 +75,7 @@ def _dp_profile(params, profile1, profile2, column_mapping1, column_mapping2):
         params.gap_open, params.gap_ext,
         params.gap_term_open, params.gap_term_ext,
         rr_ptr, dirs, last)
-    res = NativeDPResult()
-    res.dirs_D, res.dirs_H, res.dirs_V = unpack_dirs(dirs)
-    res.last = (int(last[0]), int(last[1]), int(last[2]))
-    return res
+    return _finish(lib, dirs, w1, w2, last)
 
 
 def dp_seq_prof(params, profile1, profile2, column_mapping1=None,

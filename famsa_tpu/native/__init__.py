@@ -71,6 +71,8 @@ def _configure(lib):
     lib.lcs_batch.argtypes = [p_u64, i64, p_i8, i64, i64, p_i64]
     lib.apply_column_inserts_batch.argtypes = [p_u64, p_i64, i64,
                                                p_i64, p_i64, i64, i64]
+    lib.trace_path.argtypes = [p_u8, i64, i64, i64, i64, i64, p_i64, p_i64]
+    lib.trace_path.restype = i64
 
 
 def unpack_dirs(packed):

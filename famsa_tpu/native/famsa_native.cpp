@@ -455,7 +455,41 @@ float clarans_init(const float* dmat, int64_t n_elems, int64_t n_medoids,
     return cost;
 }
 
+// ---------------------------------------------------------------------
+// Traceback walk over the packed direction matrix (construct.py:
+// _trace_path semantics, reference ConstructProfile's path build,
+// profile.cpp:710-760): returns the number of entries written to
+// out_path; the forward move list is out_path[1..n-1] (entry 0 is the
+// boundary cut, dropped by the caller).  total written to out_total.
+int64_t trace_path(const uint8_t* dirs, int64_t w1, int64_t w2,
+                   int64_t d0, int64_t h0, int64_t v0,
+                   int64_t* out_path, int64_t* out_total) {
+    int dir;
+    int64_t total;
+    if (d0 >= h0 && d0 >= v0) { dir = 0; total = d0; }
+    else if (h0 > v0) { dir = 1; total = h0; }
+    else { dir = 2; total = v0; }
+    const int64_t stride = w2 + 1;
+    int64_t i = w1, j = w2, n = 0;
+    out_path[n++] = dir;
+    while (i || j) {
+        const uint8_t cell = dirs[i * stride + j];
+        if (dir == 0) { dir = cell & 3; --i; --j; }
+        else if (dir == 1) { dir = (cell >> 2) & 3; --j; }
+        else { dir = (cell >> 4) & 3; --i; }
+        out_path[n++] = dir;
+    }
+    for (int64_t a = 0, b = n - 1; a < b; ++a, --b) {
+        const int64_t tmp = out_path[a];
+        out_path[a] = out_path[b];
+        out_path[b] = tmp;
+    }
+    *out_total = total;
+    return n;
+}
+
 } // extern "C"
+
 
 extern "C" {
 

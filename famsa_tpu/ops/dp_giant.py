@@ -49,13 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.defs import NO_AMINOACIDS_AND_GAPS
 from .dp_pallas import (COL0_PACK, LANE_PAD, NEG_HI, NEG_LO, MergedRef,
                         PendingPaths, _D, _H, _V, _forward_paths, _k_pmul_u32,
-                        _leaf_counters_dev_b, _pack_kernel_inputs, _shrink,
+                        _leaf_counters_dev_b, _pack_kernel_inputs,
                         _stage0_one, _traceback_one, merged_counters_device,
                         p_add, p_gt, p_max, p_sub, p_where)
 
 FOLDS = 8
 BLK = 8
-_LWS = (256, 512, 1024, 2048)
+# the remote AOT helper charges minutes for the FIRST execution of each
+# distinct program variant, so the variant space is kept tiny: two fold
+# widths x two row buckets x {dense, chained} profile2 (row padding
+# wastes no compute - the dynamic grid stops at the true row count)
+_LWS = (1024, 2048)
 # stage 0 reserves LANE_PAD trailing lanes (ops/dp_pallas.py), so the
 # widest profile2 an lw variant covers is 8*lw - LANE_PAD columns
 GMAX_W = FOLDS * _LWS[-1] - LANE_PAD
@@ -73,12 +77,10 @@ def lw_for(w2):
 
 
 def _w1_bucket(w1):
-    """Power-of-two row padding (array shapes only: the dynamic grid
-    stops at the true row-block count, so padding wastes no compute)."""
-    b = 256
-    while b < w1:
-        b *= 2
-    return b
+    """Row padding (array shapes only: the dynamic grid stops at the
+    true row-block count, so padding wastes no compute; coarse buckets
+    bound the compiled-variant count)."""
+    return 1024 if w1 <= 1024 else 16384
 
 
 # ---------------------------------------------------------------------------
@@ -490,8 +492,9 @@ def _gather_side(p, dev, wp):
         syms = np.full((wp,), 31, dtype=np.int8)
         syms[:gs.size] = gs.symbols
         return None, syms
-    c = np.zeros((wp + 1, 32),
-                 dtype=_shrink(np.asarray(p.counters, dtype=np.int64)).dtype)
+    # fixed i32 upload dtype: a data-dependent _shrink dtype would fork
+    # another compiled variant per magnitude class
+    c = np.zeros((wp + 1, 32), dtype=np.int32)
     c[:p.width + 1] = p.counters
     return c, None
 
@@ -525,10 +528,10 @@ def dp_profile_giant_paths_async(params, p1, p2, dev1=None, dev2=None,
           int(params.gap_term_open), int(params.gap_term_ext))
     sm = jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64))
 
+    # fixed limb count (covers card < 2^21 = 2M sequences): a
+    # card-dependent nl would fork another compiled variant per scale
     maxcard = max(len(p1.data), len(p2.data))
-    nl = 1
-    while (1 << (7 * nl)) <= maxcard:
-        nl += 1
+    nl = 3 if maxcard < (1 << 21) else 4
 
     out = _dp_giant_tb(
         None if c1 is None else jnp.asarray(c1),
@@ -549,3 +552,67 @@ def dp_profile_giant_paths(params, p1, p2, bands=None, interpret=False):
     """Blocking variant."""
     return dp_profile_giant_paths_async(
         params, p1, p2, bands=bands, interpret=interpret).resolve()
+
+
+_PREWARMED = False
+
+
+def prewarm(block=False):
+    """Compile + first-execute the hot giant-program variants on tiny
+    inputs so production dispatches find them warm: the remote AOT
+    helper charges the FIRST execution of each distinct program minutes,
+    which would otherwise land in the middle of the alignment stage.
+    Runs in a daemon thread (jit compilation releases the GIL) so the
+    warmup overlaps the host-side alignment phase; later real dispatches
+    of an already-warm variant are unaffected."""
+    global _PREWARMED
+    if _PREWARMED:
+        return None
+    _PREWARMED = True
+    import threading
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ..core.params import Params
+
+    params = Params()
+    params.adjust(100)
+    gp = (int(params.gap_open), int(params.gap_ext),
+          int(params.gap_term_open), int(params.gap_term_ext))
+    sm = _jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64))
+
+    def one(w1p, lw, side1, side2):
+        w2p_eff = FOLDS * lw - LANE_PAD
+        c1 = leaf1 = None
+        if side1 == "leaf":
+            leaf1 = _jnp.full((w1p,), 31, _jnp.int8)
+        else:
+            c1 = _jnp.zeros((w1p + 1, 32), _jnp.int32)
+        if side2 == "dev":
+            c2 = _jnp.zeros((1, GMAX_ROWS, 32), _jnp.int32)
+        else:
+            c2 = _jnp.zeros((w2p_eff + 1, 32), _jnp.int32)
+        out = _dp_giant_tb(c1, leaf1, c2, None, np.int32(8), np.int32(8),
+                           np.int32(1), np.int32(2), sm, gp, lw=lw,
+                           w1p=w1p, merged=True, nl=3)
+        _jax.block_until_ready(out)
+
+    def run():
+        for v in ((16384, 1024, "dense", "dense"),
+                  (16384, 1024, "dense", "dev"),
+                  (16384, 2048, "dense", "dense"),
+                  (16384, 2048, "dense", "dev"),
+                  (1024, 2048, "dense", "dense"),
+                  (1024, 2048, "dense", "dev"),
+                  (1024, 2048, "leaf", "dev")):
+            try:
+                one(*v)
+            except Exception:
+                pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    if block:
+        t.join()
+    return t

@@ -268,8 +268,12 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 want_merged=True, interpret=_interp)
 
         def _giant_ok(p1, p2):
-            return (lw_for(p2.width) is not None and p1.width <= 32768
+            return (lw_for(p2.width) is not None and p1.width <= 16384
                     and p1.width * p2.width >= giant_min_cells)
+
+        if not _interp:
+            from .ops.dp_giant import prewarm
+            prewarm()
     else:
         class _SyncPending:
             def __init__(self, results):
@@ -341,6 +345,13 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     chunk_nodes = max_batch * 4
     max_inflight = 4
     pending = deque()
+    # env-gated route accounting: cumulative wall + task counts per
+    # dispatch route, printed at the end (perf diagnosis at scale)
+    stats_on = os.environ.get("FAMSA_TPU_SCHED_STATS", "0") == "1"
+    import time as _time
+    rt = {"host": [0, 0.0], "giant": [0, 0.0], "batched": [0, 0.0],
+          "sharded": [0, 0.0], "resolve_giant": [0, 0.0],
+          "resolve_batched": [0, 0.0], "prep": [0, 0.0]}
     n_workers = min(os.cpu_count() or 1, 8)
     if n_workers > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -391,6 +402,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 else:
                     host.append((node_id, p1, p2))
 
+            t0s = _time.perf_counter()
             if len(host) > 1 and host_pool is not None:
                 # independent merges: the native DP releases the GIL, so
                 # a small pool overlaps DP with construct (the reference
@@ -410,6 +422,9 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     release(node_id)
                     _tick()
 
+            rt["host"][0] += len(host)
+            rt["host"][1] += _time.perf_counter() - t0s
+            t0s = _time.perf_counter()
             for node_id, p1, p2 in sharded:
                 # column-striped cross-chip DP (align_into routes on size)
                 dest = Profile(params)
@@ -418,6 +433,9 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 release(node_id)
                 _tick()
 
+            rt["sharded"][0] += len(sharded)
+            rt["sharded"][1] += _time.perf_counter() - t0s
+            t0s = _time.perf_counter()
             # group device tasks by bucket pair after the reference's
             # operand swap rule (nnz1*w2 < nnz2*w1)
             groups = {}
@@ -449,11 +467,13 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     chunk = items[k0:k0 + max_batch]
                     pending.append((chunk, _dispatch(
                         params, [(p1, p2) for _, p1, p2 in chunk])))
+            rt["prep"][1] += _time.perf_counter() - t0s
 
         # resolve the oldest in-flight batch (uploads/compute of younger
         # batches overlap this pull + host construct), then loop back to
         # dispatch whatever it readied
         elif pending:
+            t0s = _time.perf_counter()
             chunk, pnd = pending.popleft()
             for (node_id, p1, p2), res in zip(chunk, pnd.resolve()):
                 dest = Profile(params)
@@ -463,9 +483,16 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 done[node_id] = dest
                 release(node_id)
                 _tick()
+            key = "resolve_giant" if len(chunk) == 1 else "resolve_batched"
+            rt[key][0] += len(chunk)
+            rt[key][1] += _time.perf_counter() - t0s
 
     if host_pool is not None:
         host_pool.shutdown()
+    if stats_on:
+        import sys as _sys
+        for k, (cnt, t) in rt.items():
+            print(f"sched {k}: n={cnt} t={t:.1f} s", file=_sys.stderr)
     assert len(done) == 1
     return done.popitem()[1]
 
