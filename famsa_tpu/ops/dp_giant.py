@@ -359,9 +359,12 @@ def _side_counters(c, leaf, wp):
     return out.at[:c.shape[0]].set(c.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("gp", "lw", "w1p", "blk",
+@functools.partial(jax.jit, static_argnames=("lw", "w1p", "blk",
                                              "interpret", "banded", "merged",
                                              "nl"))
+# gp (gap costs) is TRACED: params.adjust rescales gap costs with the
+# input's sequence count, and a static gp would fork a fresh compiled
+# variant (minutes on the remote AOT helper) per family size.
 def _dp_giant_tb(c1s, leaf1, c2s, leaf2, w1, w2, card1, card2, sm, gp,
                  lw, w1p, blk=BLK, interpret=False, banded=False,
                  blo=None, bhi=None, merged=False, nl=4):
@@ -524,8 +527,8 @@ def dp_profile_giant_paths_async(params, p1, p2, dev1=None, dev2=None,
         bhi_np[:w1] = hi[1:w1 + 1]
         blo, bhi = jnp.asarray(blo_np), jnp.asarray(bhi_np)
 
-    gp = (int(params.gap_open), int(params.gap_ext),
-          int(params.gap_term_open), int(params.gap_term_ext))
+    gp = (np.int64(params.gap_open), np.int64(params.gap_ext),
+          np.int64(params.gap_term_open), np.int64(params.gap_term_ext))
     sm = jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64))
 
     # fixed limb count (covers card < 2^21 = 2M sequences): a
@@ -578,8 +581,8 @@ def prewarm(block=False):
 
     params = Params()
     params.adjust(100)
-    gp = (int(params.gap_open), int(params.gap_ext),
-          int(params.gap_term_open), int(params.gap_term_ext))
+    gp = (np.int64(params.gap_open), np.int64(params.gap_ext),
+          np.int64(params.gap_term_open), np.int64(params.gap_term_ext))
     sm = _jnp.asarray(np.asarray(params.score_matrix, dtype=np.int64))
 
     def one(w1p, lw, side1, side2):
