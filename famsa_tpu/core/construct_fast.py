@@ -13,6 +13,9 @@ converge after two columns -
            or te = card (boundary runs),
 so whole runs merge with three vectorized adds."""
 
+import concurrent.futures as _cf
+import os as _os
+
 import numpy as np
 
 from ..native import get_lib
@@ -138,6 +141,42 @@ def _merge_columns(path, counters1, scores1, counters2, scores2,
     return counters, scores, colmap1, colmap2
 
 
+# deferred member gap application: the alignment stage's serial (chain)
+# sections leave a core idle while the main thread runs DP(k+1); the
+# FinalizeGaps-style member updates of merge k are order-independent of
+# DP/counter work (DP needs only counters/scores), so they run on ONE
+# background worker in submission order (FIFO = construct order = the
+# per-member apply order, preserving byte identity).  Gated to runs
+# where no member is probed mid-alignment (no refinement products).
+_GAP_POOL = None
+_GAP_FUTS = []
+_GAP_LOCK = __import__("threading").Lock()
+_DEFER_GAPS = _os.environ.get("FAMSA_TPU_DEFER_GAPS", "1") == "1"
+
+
+def _gap_worker():
+    global _GAP_POOL
+    if _GAP_POOL is None:
+        with _GAP_LOCK:
+            if _GAP_POOL is None:
+                # ONE worker: FIFO submission order = construct order =
+                # the per-member apply order (constructs that touch the
+                # same members are happens-before ordered by the
+                # scheduler's child-before-parent dependency)
+                _GAP_POOL = _cf.ThreadPoolExecutor(max_workers=1)
+    return _GAP_POOL
+
+
+def drain_gap_queue():
+    """Block until every deferred member gap application has run
+    (call before anything probes member sequences: refinement, decode,
+    total-score, output)."""
+    global _GAP_FUTS
+    futs, _GAP_FUTS = _GAP_FUTS, []
+    for f in futs:
+        f.result()
+
+
 def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, res):
     p = dest.params
     go, ge = p.gap_open, p.gap_ext
@@ -165,17 +204,20 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
     # whose columns all survived contiguously costs ZERO per member -
     # remap_columns was O(card * size) per merge, which on chained guide
     # trees (sum of merge cardinalities ~n^2/2) dominated the 100k run
-    def apply_side(profile, colmap, w_old):
+    def plan_side(profile, colmap, w_old):
+        """(members, ptrs|None, idxs, deltas, trail) - everything the
+        (possibly deferred) execution needs, captured on the main thread
+        BEFORE the parent's data list is cleared."""
         members = profile.data
         deltas_all = np.diff(colmap[:w_old + 1]) - 1
         sel = deltas_all > 0
-        idxs = np.nonzero(sel)[0] + 1        # insert before OLD column i
-        deltas = deltas_all[sel]
+        idxs = np.ascontiguousarray(np.nonzero(sel)[0] + 1, dtype=np.int64)
+        deltas = np.ascontiguousarray(deltas_all[sel], dtype=np.int64)
         trail = int(width - colmap[w_old])
         if len(idxs) == 0 and trail == 0:
-            return
-        lib = get_lib()
-        if (lib is not None and len(members) > 1024
+            return None
+        ptrs = None
+        if (get_lib() is not None and len(members) > 1024
                 and p.thr_internal_refinement == 0):
             # native batch (reference multithreads FinalizeGaps at the
             # same >=1024 threshold).  Safe because these members have
@@ -183,18 +225,39 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
             # built by refinement/decode probes, and profiles that were
             # probed are <= 1000 members (refinement skip rule) or -ri
             # products (excluded by the thr_internal_refinement gate)
-            ptrs, sizes = _gap_ptr_cache(profile)
-            lib.apply_column_inserts_batch(
-                ptrs, sizes, len(members),
-                np.ascontiguousarray(idxs, dtype=np.int64),
-                np.ascontiguousarray(deltas, dtype=np.int64),
-                len(idxs), trail)
+            ptrs = _gap_ptr_cache(profile)
+        return members, ptrs, idxs, deltas, trail
+
+    def exec_side(plan):
+        if plan is None:
+            return
+        members, ptrs, idxs, deltas, trail = plan
+        if ptrs is not None:
+            ptr_a, sizes = ptrs
+            get_lib().apply_column_inserts_batch(
+                ptr_a, sizes, len(members), idxs, deltas, len(idxs), trail)
             return
         for gs in members:
             gs.apply_column_inserts(idxs, deltas, trail)
 
-    apply_side(profile2, colmap2, w2)
-    apply_side(profile1, colmap1, w1)
+    plan2 = plan_side(profile2, colmap2, w2)
+    plan1 = plan_side(profile1, colmap1, w1)
+    # defer only above the refinement size limit: smaller profiles can be
+    # re-split and probed by the refinement loop right after construct
+    # (cards only grow up the tree, so a small merge's ancestors were
+    # never deferred either)
+    if _DEFER_GAPS and p.thr_internal_refinement == 0 \
+            and size1 + size2 > 1024 \
+            and (plan1 is not None or plan2 is not None):
+
+        def _apply_deferred():
+            exec_side(plan2)
+            exec_side(plan1)
+
+        _GAP_FUTS.append(_gap_worker().submit(_apply_deferred))
+    else:
+        exec_side(plan2)
+        exec_side(plan1)
 
     dest.data = profile2.data + profile1.data
     if len(dest.data) > 256:

@@ -233,8 +233,12 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     use_pallas = (_jax.default_backend() == "tpu" and pallas_mode == "1") \
         or pallas_mode == "interpret"
     use_giant = use_pallas and os.environ.get("FAMSA_TPU_GIANT", "1") == "1"
+    # below ~2e7 cells the native host DP (~3.6e8 cells/s) beats a
+    # serialized device round trip through the tunnel; the giant kernel
+    # pays off for the truly wide merges and amortizes its per-process
+    # setup over them
     giant_min_cells = int(float(os.environ.get("FAMSA_TPU_GIANT_MIN_CELLS",
-                                               "4e6")))
+                                               "2e7")))
     if use_pallas:
         # Mosaic DP + on-device traceback: only O(W) path bytes are pulled;
         # async dispatch pipelines the level's batches through the tunnel.
@@ -588,6 +592,8 @@ def compute_msa(params, sequences):
     t_align.start()
     logger.verbose("Computing alignment...", end="")
     final_profile = compute_alignment(params, mapped_gapped, tree.raw())
+    from .core.construct_fast import drain_gap_queue
+    drain_gap_queue()          # deferred member gap applications
     t_align.stop()
     logger.verbose("[OK]")
 
@@ -650,5 +656,7 @@ def align_profiles(params, records1, records2):
 
     final = Profile(params)
     align_into(final, prof1, prof2, backend=params.backend)
+    from .core.construct_fast import drain_gap_queue
+    drain_gap_queue()
     final = refine_alignment(final, params, backend=params.backend)
     return final.data
