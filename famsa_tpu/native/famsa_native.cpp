@@ -13,6 +13,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <atomic>
+#include <thread>
 #include <vector>
 #include <algorithm>
 #include <cmath>
@@ -192,39 +194,31 @@ void dp_prof_prof(const int64_t* counters1, const int64_t* scores1,
     }
     prev[w2].H = NEG_INF;
 
-    // col1 entries (symbol, count) for the current row
-    int64_t col1_sym[NO_AA_GAPS];
-    int64_t col1_cnt[NO_AA_GAPS];
-
-    for (int64_t i = 1; i <= w1; ++i) {
+    // row segment [jlo, jhi] of row i (shared by the single-thread path
+    // and the 2-thread column-split wavefront; per-row precomputes are
+    // (re)derived per call - O(32), negligible vs the cell loop)
+    auto row_segment = [&](int64_t i, int64_t jlo, int64_t jhi,
+                           const RowElem* prevr, RowElem* currr, bool head) {
         uint8_t* drow = dirs + i * stride;
         const int64_t* c1 = counters1 + i * NO_SYMBOLS;
         const int64_t* s1 = scores1 + i * NO_SYMBOLS;
         const int64_t s1go = s1[GAP_OPEN], s1ge = s1[GAP_EXT];
         const int64_t s1gto = s1[GAP_TERM_OPEN], s1gte = s1[GAP_TERM_EXT];
 
-        curr[0].D = NEG_INF;
-        curr[0].H = NEG_INF;
-        set_packed(drow, DIR_V, DIR_V, DIR_V);
-
-        int64_t lo_i = 0, hi_i = w2;
-        if (row_ranges) { lo_i = row_ranges[2 * i]; hi_i = row_ranges[2 * i + 1]; }
-        if (lo_i)
-            curr[lo_i - 1] = {NEG_INF, NEG_INF, NEG_INF};
-
-        if (i < w1) {
-            curr[0].V = std::max(prev[0].D, prev[0].V)
-                      + (i == 1 ? s1gto : s1gte) * card2;
-            if (row_ranges) {
-                int64_t hi_clear = std::min(row_ranges[2 * (i + 1) + 1], w2);
-                for (int64_t j = hi_i + 1; j <= hi_clear; ++j)
-                    curr[j] = {NEG_INF, NEG_INF, NEG_INF};
+        if (head) {
+            currr[0].D = NEG_INF;
+            currr[0].H = NEG_INF;
+            set_packed(drow, DIR_V, DIR_V, DIR_V);
+            if (i < w1) {
+                currr[0].V = std::max(prevr[0].D, prevr[0].V)
+                           + (i == 1 ? s1gto : s1gte) * card2;
+            } else {
+                currr[0].V = NEG_INF;
             }
-        } else {
-            curr[0].V = NEG_INF;
         }
 
-        // col1 collection (profile_seq.cpp:653-662)
+        int64_t col1_sym[NO_AA_GAPS];
+        int64_t col1_cnt[NO_AA_GAPS];
         int n_col1 = 0;
         int64_t col1_nng = 0;
         for (int k = 0; k < NO_AA_GAPS; ++k) {
@@ -242,10 +236,7 @@ void dp_prof_prof(const int64_t* counters1, const int64_t* scores1,
         const int64_t n1_change = c1[GAP_OPEN];
         const int64_t n1_term_change = c1[GAP_TERM_OPEN];
 
-        const int64_t min_j = std::max(int64_t(1), lo_i);
-        const int64_t max_j = std::min(hi_i, w2);
-
-        for (int64_t j = min_j; j <= max_j; ++j) {
+        for (int64_t j = jlo; j <= jhi; ++j) {
             int d_D, d_H, d_V;
             const int64_t* s2col = scores2 + j * NO_SYMBOLS;
 
@@ -254,14 +245,14 @@ void dp_prof_prof(const int64_t* counters1, const int64_t* scores1,
                 t += col1_cnt[k] * s2col[col1_sym[k]];
 
             // D channel
-            int64_t tD = prev[j - 1].D + t;
+            int64_t tD = prevr[j - 1].D + t;
             int64_t delta = n1_change * (s2col[GAP_EXT] - s2col[GAP_OPEN])
                 + n1_term_change * (s2col[GAP_TERM_EXT] - s2col[GAP_TERM_OPEN]);
-            int64_t tH = prev[j - 1].H + t + delta;
-            int64_t tV = prev[j - 1].V + t + gaps2_change[j] * col1_nng;
-            if (tD > tH && tD > tV) { curr[j].D = tD; d_D = DIR_D; }
-            else if (tH > tV)       { curr[j].D = tH; d_D = DIR_H; }
-            else                    { curr[j].D = tV; d_D = DIR_V; }
+            int64_t tH = prevr[j - 1].H + t + delta;
+            int64_t tV = prevr[j - 1].V + t + gaps2_change[j] * col1_nng;
+            if (tD > tH && tD > tV) { currr[j].D = tD; d_D = DIR_D; }
+            else if (tH > tV)       { currr[j].D = tH; d_D = DIR_H; }
+            else                    { currr[j].D = tV; d_D = DIR_V; }
 
             const bool three = (i > 1) && (j > 1);
 
@@ -269,40 +260,94 @@ void dp_prof_prof(const int64_t* counters1, const int64_t* scores1,
             int64_t gh_s = p2o[j] * n1so + p2e[j] * n1se
                          + p2to[j] * n1sto + p2te[j] * n1ste;
             int64_t gh_c = p2e[j] * n1ce + p2te[j] * n1cte;
-            tD = curr[j - 1].D + gh_s;
-            tH = curr[j - 1].H + gh_c;
+            tD = currr[j - 1].D + gh_s;
+            tH = currr[j - 1].H + gh_c;
             if (three) {
-                tV = curr[j - 1].V + gh_s;
-                if (tD > tH && tD > tV) { curr[j].H = tD; d_H = DIR_D; }
-                else if (tV > tH)       { curr[j].H = tV; d_H = DIR_V; }
-                else                    { curr[j].H = tH; d_H = DIR_H; }
+                tV = currr[j - 1].V + gh_s;
+                if (tD > tH && tD > tV) { currr[j].H = tD; d_H = DIR_D; }
+                else if (tV > tH)       { currr[j].H = tV; d_H = DIR_V; }
+                else                    { currr[j].H = tH; d_H = DIR_H; }
             } else {
-                if (tD > tH) { curr[j].H = tD; d_H = DIR_D; }
-                else         { curr[j].H = tH; d_H = DIR_H; }
+                if (tD > tH) { currr[j].H = tD; d_H = DIR_D; }
+                else         { currr[j].H = tH; d_H = DIR_H; }
             }
 
             // V channel
             int64_t gv_s = s1go * g2so[j] + s1ge * g2se[j]
                          + s1gto * g2sto[j] + s1gte * g2ste[j];
             int64_t gv_c = s1ge * g2ce[j] + s1gte * g2cte[j];
-            tD = prev[j].D + gv_s;
-            tV = prev[j].V + gv_c;
+            tD = prevr[j].D + gv_s;
+            tV = prevr[j].V + gv_c;
             if (three) {
-                tH = prev[j].H + gv_s;
-                if (tD > tH && tD > tV) { curr[j].V = tD; d_V = DIR_D; }
-                else if (tH > tV)       { curr[j].V = tH; d_V = DIR_H; }
-                else                    { curr[j].V = tV; d_V = DIR_V; }
+                tH = prevr[j].H + gv_s;
+                if (tD > tH && tD > tV) { currr[j].V = tD; d_V = DIR_D; }
+                else if (tH > tV)       { currr[j].V = tH; d_V = DIR_H; }
+                else                    { currr[j].V = tV; d_V = DIR_V; }
             } else {
-                if (tD > tV) { curr[j].V = tD; d_V = DIR_D; }
-                else         { curr[j].V = tV; d_V = DIR_V; }
+                if (tD > tV) { currr[j].V = tD; d_V = DIR_D; }
+                else         { currr[j].V = tV; d_V = DIR_V; }
             }
 
             set_packed(drow + j, d_D, d_H, d_V);
         }
+    };
+
+    // 2-thread column-split wavefront (reference profile_par.cpp:441-905,
+    // column stripes + staggered starts): the right half of each row runs
+    // one row behind the left half on a second thread; 3 rotating row
+    // buffers keep writer and laggard off shared rows.  Same per-cell
+    // arithmetic -> byte-identical to the single-thread path.
+    const bool mt = row_ranges == nullptr && w2 >= 512
+                    && w1 * w2 >= (int64_t(1) << 21)
+                    && std::thread::hardware_concurrency() >= 2;
+    if (mt) {
+        std::vector<RowElem> ring(3 * (w2 + 1));
+        RowElem* rows[3] = {ring.data(), ring.data() + (w2 + 1),
+                            ring.data() + 2 * (w2 + 1)};
+        std::copy(prev.begin(), prev.end(), rows[0]);
+        const int64_t m = w2 / 2;
+        std::atomic<int64_t> left_row{0}, right_row{0};
+
+        std::thread right_thr([&]() {
+            for (int64_t i = 1; i <= w1; ++i) {
+                while (left_row.load(std::memory_order_acquire) < i)
+                    std::this_thread::yield();
+                row_segment(i, m + 1, w2, rows[(i - 1) % 3], rows[i % 3],
+                            false);
+                right_row.store(i, std::memory_order_release);
+            }
+        });
+        for (int64_t i = 1; i <= w1; ++i) {
+            while (i >= 3 &&
+                   right_row.load(std::memory_order_acquire) < i - 2)
+                std::this_thread::yield();
+            row_segment(i, 1, m, rows[(i - 1) % 3], rows[i % 3], true);
+            left_row.store(i, std::memory_order_release);
+        }
+        right_thr.join();
+        const RowElem* lastr = rows[w1 % 3];
+        last[0] = lastr[w2].D; last[1] = lastr[w2].H; last[2] = lastr[w2].V;
+        return;
+    }
+
+    for (int64_t i = 1; i <= w1; ++i) {
+        int64_t lo_i = 0, hi_i = w2;
+        if (row_ranges) { lo_i = row_ranges[2 * i]; hi_i = row_ranges[2 * i + 1]; }
+        if (lo_i)
+            curr[lo_i - 1] = {NEG_INF, NEG_INF, NEG_INF};
+        if (i < w1 && row_ranges) {
+            int64_t hi_clear = std::min(row_ranges[2 * (i + 1) + 1], w2);
+            for (int64_t j = hi_i + 1; j <= hi_clear; ++j)
+                curr[j] = {NEG_INF, NEG_INF, NEG_INF};
+        }
+        const int64_t min_j = std::max(int64_t(1), lo_i);
+        const int64_t max_j = std::min(hi_i, w2);
+        row_segment(i, min_j, max_j, prev.data(), curr.data(), true);
         std::swap(prev, curr);
     }
     last[0] = prev[w2].D; last[1] = prev[w2].H; last[2] = prev[w2].V;
 }
+
 
 // ---------------------------------------------------------------------
 // SLINK inner update for one row i (reference SingleLinkage.cpp:99-154).
