@@ -40,6 +40,18 @@ def _gap_ptr_cache(profile):
     return profile._gap_ptrs, profile._gap_sizes
 
 
+def _may_probe(p, card):
+    """True when the refinement stage may re-split/probe a profile of
+    this cardinality (forced 'on', or 'auto' within the size limit):
+    such members must never carry deferred or _cum-stale gap state."""
+    mode = getattr(p, "refinement_mode", "auto")
+    if mode == "off":
+        return False
+    if mode == "auto":
+        return card <= p.thr_refinement
+    return True
+
+
 def _merge_columns(path, counters1, scores1, counters2, scores2,
                    w1, w2, size1, size2, go, ge, gto, gte):
     """Fully vectorized column merge: one numpy pass over the path
@@ -218,7 +230,8 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
             return None
         ptrs = None
         if (get_lib() is not None and len(members) > 1024
-                and p.thr_internal_refinement == 0):
+                and p.thr_internal_refinement == 0
+                and not _may_probe(p, len(members))):
             # native batch (reference multithreads FinalizeGaps at the
             # same >=1024 threshold).  Safe because these members have
             # never been probed: position-line caches (_cum) are only
@@ -242,12 +255,12 @@ def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, 
 
     plan2 = plan_side(profile2, colmap2, w2)
     plan1 = plan_side(profile1, colmap1, w1)
-    # defer only above the refinement size limit: smaller profiles can be
-    # re-split and probed by the refinement loop right after construct
-    # (cards only grow up the tree, so a small merge's ancestors were
-    # never deferred either)
+    # defer only when refinement can never probe these members after
+    # this construct (cards only grow up the tree, so a small merge's
+    # ancestors were never deferred either)
     if _DEFER_GAPS and p.thr_internal_refinement == 0 \
             and size1 + size2 > 1024 \
+            and not _may_probe(p, size1 + size2) \
             and (plan1 is not None or plan2 is not None):
 
         def _apply_deferred():
