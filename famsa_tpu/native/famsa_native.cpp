@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <atomic>
 #include <thread>
 #include <vector>
@@ -297,7 +298,9 @@ void dp_prof_prof(const int64_t* counters1, const int64_t* scores1,
     // one row behind the left half on a second thread; 3 rotating row
     // buffers keep writer and laggard off shared rows.  Same per-cell
     // arithmetic -> byte-identical to the single-thread path.
-    const bool mt = row_ranges == nullptr && w2 >= 512
+    static const char* mt_env = std::getenv("FAMSA_TPU_DP_MT");
+    static const bool mt_allow = !mt_env || mt_env[0] != '0';
+    const bool mt = mt_allow && row_ranges == nullptr && w2 >= 512
                     && w1 * w2 >= (int64_t(1) << 21)
                     && std::thread::hardware_concurrency() >= 2;
     if (mt) {

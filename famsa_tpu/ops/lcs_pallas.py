@@ -78,7 +78,14 @@ def _unroll_for(w):
     return int(max(1, min(UNROLL, 256 // max(w, 1))))
 
 
-def _make_kernel(w, length, ql):
+# word-update budget for the FULLY unrolled position loop: measured on
+# v5e, the fori-loop variant runs ~4x below the unrolled one (the loop
+# carry round-trips the X words through VMEM every iteration); full
+# unroll is bounded by Mosaic compile time, which scales with body size
+_FULL_UNROLL_BUDGET = 6144
+
+
+def _make_kernel(w, length, ql, interpret=False):
     unroll = _unroll_for(w)
     n_iter = length // unroll
 
@@ -96,19 +103,24 @@ def _make_kernel(w, length, ql):
                 new.append(v2 | (v - tb))
             return tuple(new)
 
-        def block_step(it, state):
-            # `it` is unused: under an x64-enabled outer jit the fori
-            # counter traces as i64, and any i64<->i32 convert inside a
-            # Mosaic kernel sends the lowering into infinite recursion.
-            # The position counter is carried explicitly in i32 instead.
-            t0, xs = state
-            for u in range(unroll):
-                xs = one_pos(t0 + np.int32(u), xs)
-            return (t0 + np.int32(unroll), xs)
-
         x0 = tuple(jnp.full((8, ql), -1, jnp.int32) for _ in range(w))
-        _, xs = jax.lax.fori_loop(np.int32(0), np.int32(n_iter), block_step,
-                                  (jnp.int32(0), x0))
+        if length * w <= _FULL_UNROLL_BUDGET and not interpret:
+            xs = x0
+            for t in range(length):
+                xs = one_pos(np.int32(t), xs)
+        else:
+            def block_step(it, state):
+                # `it` is unused: under an x64-enabled outer jit the fori
+                # counter traces as i64, and any i64<->i32 convert inside
+                # a Mosaic kernel sends the lowering into infinite
+                # recursion.  The counter is carried explicitly in i32.
+                t0, xs = state
+                for u in range(unroll):
+                    xs = one_pos(t0 + np.int32(u), xs)
+                return (t0 + np.int32(unroll), xs)
+
+            _, xs = jax.lax.fori_loop(np.int32(0), np.int32(n_iter),
+                                      block_step, (jnp.int32(0), x0))
 
         cnt = jnp.zeros((8, ql), jnp.int32)
         for k in range(w):
@@ -145,7 +157,7 @@ def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False,
     # minor axis = refs: mask block stays resident
     grid = (nb if nb_run is None else nb_run, r)
     out = pl.pallas_call(
-        _make_kernel(w, length, ql),
+        _make_kernel(w, length, ql, interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, length), lambda b, i: (i, z, z),

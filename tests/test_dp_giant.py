@@ -86,6 +86,7 @@ def test_giant_pair_big_magnitudes():
     assert got.path == path
 
 
+@pytest.mark.slow
 def test_giant_merged_counters_and_chain():
     """Device-resident flow: merge A requests merged counters; merge B
     consumes them via dev2 without an upload.  The device counters must

@@ -101,6 +101,7 @@ def test_dp_pallas_device_traceback():
             assert g.path == path
 
 
+@pytest.mark.slow
 def test_dp_pallas_pair_big_magnitudes():
     """Pair-mode in-kernel cost computation at i64 magnitudes: a score
     matrix scaled by 2^22 pushes every cost term far beyond i32, so every
@@ -196,6 +197,7 @@ def test_merged_counters_device_matches_construct():
         assert not got[exp.shape[0]:].any()
 
 
+@pytest.mark.slow
 def test_dp_pallas_device_resident_flow():
     """Two-level merge flow with device-resident counters: level-1 merges
     request merged counters (want_merged), level 2 consumes them via
@@ -249,6 +251,7 @@ def test_dp_pallas_device_resident_flow():
     assert res_h.path == res_d.path
 
 
+@pytest.mark.slow
 def test_dp_pallas_guided_band():
     """Guided (banded) DP on the Mosaic kernel vs the host banded DP
     (find_row_ranges masks, reference profile.cpp:1320-1365 +
@@ -325,6 +328,7 @@ def test_dp_pallas_guided_band():
     assert got[1].total == total_f and got[1].path == path_f
 
 
+@pytest.mark.slow
 def test_dp_pallas_guided_band_stress():
     """Randomized stress parity for the banded kernel: the host DP keeps
     the reference's 2-row-buffer clearing discipline (stale out-of-band
@@ -386,6 +390,7 @@ def test_dp_pallas_guided_band_stress():
         assert g.path == path
 
 
+@pytest.mark.slow
 def test_dp_pallas_mxu_limbs():
     """MXU match-score path (_mxu_tb limb matmuls) at two-limb counts
     (card >= 128); parity vs the host DP.  Scores this large sit outside
@@ -416,6 +421,7 @@ def test_dp_pallas_mxu_limbs():
     assert got.path == path
 
 
+@pytest.mark.slow
 def test_dp_pallas_mxu_guided():
     """Guided band + MXU match-score together (the refinement dispatch on
     hardware)."""

@@ -61,6 +61,7 @@ def test_jax_full_alignment_golden(tmp_path):
     assert filecmp.cmp(out, REF / "adeno_fiber" / "sl.fasta", shallow=False)
 
 
+@pytest.mark.slow
 def test_pipeline_pallas_interpret(monkeypatch):
     """The production pallas dispatch pipeline (level scheduler ->
     dp_profile_pallas_paths_async: stage0 on device, CSC/dense upload

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# 8-device CPU-mesh suites take tens of minutes on a 2-core host; the driver's dryrun_multichip covers the sharded routes end to end every round
+pytestmark = pytest.mark.slow
 from famsa_tpu.parallel.mesh import (NEG_INF, dp_row_sharded, make_mesh,
                                      prim_round_sharded)
 

@@ -1,7 +1,10 @@
 """Device (jax) whole-tree Prim vs host reference Prim."""
 
 import numpy as np
+import pytest
 
+# whole-tree device-Prim interpret programs compile for minutes on XLA:CPU
+pytestmark = pytest.mark.slow
 from famsa_tpu.core.sequence import Sequence
 
 
