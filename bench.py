@@ -100,6 +100,10 @@ def run_e2e_guard():
     writer.  Runs FIRST and unconditionally so a kernel-bench crash can
     never mask a pipeline regression (stderr only)."""
     from famsa_tpu.cli import main as cli_main
+    # the pipeline's giant-variant prewarm thread would keep the remote
+    # AOT helper busy into the timed kernel sections (measured: an 18x
+    # slower DP batch while variants compile in the background)
+    os.environ.setdefault("FAMSA_TPU_PREWARM", "0")
     ref_dir = "/root/reference/test/adeno_fiber"
     t0 = time.perf_counter()
     rc = cli_main(["-gt", "import", f"{ref_dir}/upgma.dnd", "-refine_mode",
