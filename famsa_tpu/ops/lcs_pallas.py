@@ -48,9 +48,23 @@ _TABLE_VMEM_BUDGET = 8 * 1024 * 1024
 
 def _pick_ql(w):
     """Lanes per query block: largest 128-multiple whose [32*W, 8, QL] u32
-    mask block fits the VMEM budget."""
+    mask block fits the VMEM budget.  Capped at 256 when two reference
+    chains interleave (see _pick_nr): 2 chains x W words x 2 vregs stays
+    inside the vector register file, and the independent chains hide the
+    carry-chain latency the single-ref kernel stalls on."""
     ql = (_TABLE_VMEM_BUDGET // (NO_SYMBOLS * w * 8 * 4)) // 128 * 128
-    return int(max(128, min(512, ql)))
+    cap = 256 if _pick_nr(w) == 2 else 512
+    return int(max(128, min(cap, ql)))
+
+
+def _pick_nr(w):
+    """Interleaved reference chains per grid step.  Measured on v5e at
+    len 300 / W=10: nr=2 @ ql=256 runs 104 ms per 256x4096 block vs
+    89 ms for nr=1 @ ql=512 - the wider single-chain vregs already give
+    the scheduler enough ILP, and halving ql doubles per-op overhead -
+    so this stays 1 (the machinery is parity-tested and ready if a
+    future geometry wins)."""
+    return 1
 
 
 def _popcount32(x):
@@ -85,47 +99,56 @@ def _unroll_for(w):
 _FULL_UNROLL_BUDGET = 6144
 
 
-def _make_kernel(w, length, ql, interpret=False):
+def _make_kernel(w, length, ql, interpret=False, nr=1):
     unroll = _unroll_for(w)
     n_iter = length // unroll
 
     def kernel(syms_ref, table_ref, out_ref):
-        def one_pos(t, xs):
-            sym = syms_ref[0, 0, t]
-            base = sym * np.int32(w)
-            carry = jnp.zeros((8, ql), jnp.int32)
-            new = []
-            for k in range(w):
-                v = xs[k]
-                tb = v & table_ref[0, base + np.int32(k)]
-                v2 = v + tb + carry
-                carry = ((v2 ^ MIN32) < (v ^ MIN32)).astype(jnp.int32)
-                new.append(v2 | (v - tb))
-            return tuple(new)
+        def one_pos(t, xss):
+            # nr INDEPENDENT reference chains per position: the word
+            # updates of one chain form a serial dependency (latency
+            # bound); interleaving fills the VPU pipeline
+            outs = []
+            for c in range(nr):
+                sym = syms_ref[0, c, t]
+                base = sym * np.int32(w)
+                carry = jnp.zeros((8, ql), jnp.int32)
+                new = []
+                xs = xss[c]
+                for k in range(w):
+                    v = xs[k]
+                    tb = v & table_ref[0, base + np.int32(k)]
+                    v2 = v + tb + carry
+                    carry = ((v2 ^ MIN32) < (v ^ MIN32)).astype(jnp.int32)
+                    new.append(v2 | (v - tb))
+                outs.append(tuple(new))
+            return tuple(outs)
 
-        x0 = tuple(jnp.full((8, ql), -1, jnp.int32) for _ in range(w))
-        if length * w <= _FULL_UNROLL_BUDGET and not interpret:
-            xs = x0
+        x0 = tuple(tuple(jnp.full((8, ql), -1, jnp.int32)
+                         for _ in range(w)) for _ in range(nr))
+        if length * w * nr <= _FULL_UNROLL_BUDGET and not interpret:
+            xss = x0
             for t in range(length):
-                xs = one_pos(np.int32(t), xs)
+                xss = one_pos(np.int32(t), xss)
         else:
             def block_step(it, state):
                 # `it` is unused: under an x64-enabled outer jit the fori
                 # counter traces as i64, and any i64<->i32 convert inside
                 # a Mosaic kernel sends the lowering into infinite
                 # recursion.  The counter is carried explicitly in i32.
-                t0, xs = state
+                t0, xss = state
                 for u in range(unroll):
-                    xs = one_pos(t0 + np.int32(u), xs)
-                return (t0 + np.int32(unroll), xs)
+                    xss = one_pos(t0 + np.int32(u), xss)
+                return (t0 + np.int32(unroll), xss)
 
-            _, xs = jax.lax.fori_loop(np.int32(0), np.int32(n_iter),
-                                      block_step, (jnp.int32(0), x0))
+            _, xss = jax.lax.fori_loop(np.int32(0), np.int32(n_iter),
+                                       block_step, (jnp.int32(0), x0))
 
-        cnt = jnp.zeros((8, ql), jnp.int32)
-        for k in range(w):
-            cnt = cnt + _popcount32(~xs[k])
-        out_ref[0, 0] = cnt
+        for c in range(nr):
+            cnt = jnp.zeros((8, ql), jnp.int32)
+            for k in range(w):
+                cnt = cnt + _popcount32(~xss[c][k])
+            out_ref[0, 0, c] = cnt
     return kernel
 
 
@@ -144,7 +167,13 @@ def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False,
     (SLINK/UPGMA row prefixes) pass ceil((ref+block)/8QL) and skip the
     upper half of the all-pairs work the full grid would do."""
     nb = table.shape[0]
-    r = syms.shape[0]
+    r_orig = syms.shape[0]
+    r = r_orig
+    nr = _pick_nr(w)
+    if r % nr:
+        syms = jnp.concatenate(
+            [syms, jnp.tile(syms[-1:], (nr - r % nr, 1))], axis=0)
+        r = syms.shape[0]
     unroll = _unroll_for(w)
     lpad = ((length + unroll - 1) // unroll) * unroll
     if lpad != length:
@@ -152,26 +181,27 @@ def _lcs_pallas_impl(table, syms, w, length, ql, interpret=False,
         syms = jnp.concatenate(
             [syms, jnp.full((r, lpad - length), 22, syms.dtype)], axis=1)
         length = lpad
-    syms3 = syms.reshape(r, 1, length)
+    syms3 = syms.reshape(r // nr, nr, length)
     z = np.int32(0)
     # minor axis = refs: mask block stays resident
-    grid = (nb if nb_run is None else nb_run, r)
+    grid = (nb if nb_run is None else nb_run, r // nr)
     out = pl.pallas_call(
-        _make_kernel(w, length, ql, interpret),
+        _make_kernel(w, length, ql, interpret, nr),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, length), lambda b, i: (i, z, z),
+            pl.BlockSpec((1, nr, length), lambda b, i: (i, z, z),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, NO_SYMBOLS * w, 8, ql),
                          lambda b, i: (b, z, z, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, ql), lambda b, i: (b, i, z, z),
+        out_specs=pl.BlockSpec((1, 1, nr, 8, ql),
+                               lambda b, i: (b, i, z, z, z),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, r, 8, ql), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nb, r // nr, nr, 8, ql), jnp.int32),
         interpret=interpret,
     )(syms3, table)
-    return out
+    return out.reshape(nb, r, 8, ql)[:, :r_orig]
 
 
 _lcs_pallas = jax.jit(_lcs_pallas_impl,
