@@ -65,6 +65,12 @@ def _merge_columns(path, counters1, scores1, counters2, scores2,
     _solve_starting reads only transfer-invariant sums)."""
     e = np.asarray(path, dtype=np.int64)
     S = len(e)
+    if S == 0:
+        # degenerate merge of two zero-width parents: no columns
+        return (np.zeros((1, NO_SYMBOLS), dtype=np.int64),
+                np.zeros((1, NO_SYMBOLS), dtype=SCORE_DTYPE),
+                np.zeros(w1 + 1, dtype=np.int64),
+                np.zeros(w2 + 1, dtype=np.int64))
     isH = e == H
     isV = e == V
     adv1 = ~isH
@@ -187,6 +193,21 @@ def drain_gap_queue():
     futs, _GAP_FUTS = _GAP_FUTS, []
     for f in futs:
         f.result()
+
+
+def reset_gap_queue():
+    """Discard any deferred applications left over from a FAILED run
+    (call at alignment start: a compute_msa that raised mid-stage leaves
+    stale futures whose exceptions would surface in the NEXT run)."""
+    global _GAP_FUTS
+    futs, _GAP_FUTS = _GAP_FUTS, []
+    for f in futs:
+        f.cancel()
+        if not f.cancelled():
+            try:
+                f.result()
+            except Exception:
+                pass
 
 
 def construct_profile_fast(dest: Profile, profile1: Profile, profile2: Profile, res):

@@ -312,8 +312,13 @@ class PallasDistanceBackend:
             # skips the upper-triangle query blocks - the same
             # half-work saving as the reference's triangular loops
             ids = np.arange(ref_idx, min(ref_idx + self.block_rows, self.n))
+            # the prefetched block must cover the CALLER's need too: row()
+            # passes need_cols = max(query_ids)+1 for arbitrary query sets
+            # (Prim queries all remaining ids from the first node), which
+            # can exceed ref_idx + block_rows - truncating there would
+            # return uninitialized columns from skipped query blocks
             ncq = self.n if need_cols is None \
-                else min(self.n, ref_idx + self.block_rows)
+                else min(self.n, max(need, ref_idx + self.block_rows))
             self._cache = self._lcs_block(ids, pad_to=self.block_rows,
                                           n_queries=ncq)
             self._cache_base = ref_idx

@@ -170,6 +170,8 @@ def compute_alignment(params, gapped_sequences, tree_list):
     deterministic; with the jax backend, independent merges of a level are
     batched into single vmapped device launches (the TPU analog of the
     reference's CProfileQueue task parallelism, queues.cpp:66-124)."""
+    from .core.construct_fast import reset_gap_queue
+    reset_gap_queue()          # discard stale futures from a failed run
     if params.backend == "jax" and len(gapped_sequences) > 2:
         return _compute_alignment_batched(params, gapped_sequences, tree_list)
 

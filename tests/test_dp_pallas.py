@@ -101,6 +101,82 @@ def test_dp_pallas_device_traceback():
             assert g.path == path
 
 
+def test_dp_pallas_fast_representatives():
+    """Cheap fast-suite representatives of the slow-gated kernel families
+    (guided band, MXU match-score, pair-mode big magnitudes) so the
+    bit-exactness invariant keeps fast-suite regression coverage: one
+    minimal case per family, single shared bucket where possible."""
+    from famsa_tpu.core.aligner import align_into
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import find_row_ranges
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.ops import dp_pallas as dpp
+
+    rng = np.random.default_rng(83)
+    params = Params()
+    params.adjust(50)
+
+    # --- guided band (refinement split scenario, single mode) ---
+    p1 = _make_profile(rng, params, 3, 28)
+    p2 = _make_profile(rng, params, 2, 30)
+    dest = Profile(params)
+    align_into(dest, p1, p2, backend="numpy")
+    a, b = Profile(params), Profile(params)
+    for k, gs in enumerate(dest.data):
+        (a if k % 2 else b).append_raw_sequence(gs)
+    _, cm1 = a.condense()
+    _, cm2 = b.condense()
+    a.optimize_gaps()
+    b.optimize_gaps()
+    a.calculate_counters_scores()
+    b.calculate_counters_scores()
+    if len(a.data) == 1:
+        ref = dp_seq_prof(params, a, b, list(cm1), list(cm2))
+    else:
+        ref = dp_prof_prof(params, a, b, list(cm1), list(cm2))
+    path, total = _trace_path(ref, a.width, b.width)
+    rr = find_row_ranges(list(cm1), list(cm2),
+                         params.guided_alignment_radius)
+    lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+    hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+    got = dpp.dp_profile_pallas_paths(params, [(a, b)], interpret=True,
+                                      single=True, bands=[(lo, hi)])[0]
+    assert got.total == total and got.path == path
+
+    # --- MXU match-score limb path (forced config, small card) ---
+    p1 = _make_profile(rng, params, 5, 28)
+    p2 = _make_profile(rng, params, 4, 30)
+    cfg = dpp._mxu_cfg([(p1, p2)])
+    assert cfg is not None          # small cards/scores fit the limb budget
+    orig = dpp._mxu_cfg
+    dpp._mxu_cfg = lambda pairs: cfg    # pin: the kernel MXU path must run
+    try:
+        got = dpp.dp_profile_pallas_paths(params, [(p1, p2)],
+                                          interpret=True, single=True)[0]
+    finally:
+        dpp._mxu_cfg = orig
+    ref = dp_prof_prof(params, p1, p2)
+    path, total = _trace_path(ref, p1.width, p2.width)
+    assert got.total == total and got.path == path
+
+    # --- pair-mode (hi,lo) carry chains at i64 magnitudes ---
+    params2 = Params()
+    params2.adjust(50)
+    params2.score_matrix = (params2.score_matrix.astype(np.int64) << 22)
+    params2.gap_open <<= 22
+    params2.gap_ext <<= 22
+    params2.gap_term_open <<= 22
+    params2.gap_term_ext <<= 22
+    p1 = _make_profile(rng, params2, 2, 28)
+    p2 = _make_profile(rng, params2, 3, 30)
+    assert not dpp._single_word_ok(params2, [(p1, p2)])
+    got = dpp.dp_profile_pallas_paths(params2, [(p1, p2)], sb=8,
+                                      interpret=True)[0]
+    ref = dp_prof_prof(params2, p1, p2)
+    path, total = _trace_path(ref, p1.width, p2.width)
+    assert got.total == total and got.path == path
+
+
 @pytest.mark.slow
 def test_dp_pallas_pair_big_magnitudes():
     """Pair-mode in-kernel cost computation at i64 magnitudes: a score

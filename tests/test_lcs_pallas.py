@@ -75,6 +75,53 @@ def test_pallas_backend_rows_match_numpy_backend():
         lp.lcs_rows = orig
 
 
+def test_pallas_backend_row_nonprefix_query_ids():
+    """row(ref, query_ids) where max(query_ids) reaches BEYOND the
+    sequential prefetch window (ref_idx + block_rows): the dynamic grid
+    must still compute those query blocks (regression: the sequential
+    branch truncated ncq to ref_idx + block_rows, returning uninitialized
+    columns - Prim with a non-default measure queries ALL remaining ids
+    from node 0)."""
+    from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS
+    from famsa_tpu.ops.distance import DistanceBackend
+    import famsa_tpu.ops.lcs_pallas as lp
+
+    class Seq:
+        def __init__(self, data, length):
+            self.data = data
+            self.length = length
+            self.data_size = len(data)
+
+    rng = np.random.default_rng(11)
+    seqs = []
+    for _ in range(64):
+        l = int(rng.integers(10, 90))
+        seqs.append(Seq(rng.integers(0, 24, size=l).astype(np.int8), l))
+
+    ref = DistanceBackend(seqs, DIST_INDEL075_DIV_LCS, np.float64)
+    orig_rows, orig_ql = lp.lcs_rows, lp._pick_ql
+    lp.lcs_rows = lambda *a, **k: orig_rows(*a, **{**k, "interpret": True})
+    lp._pick_ql = lambda w: 2           # 16 queries/block -> nb = 4
+    try:
+        dev = lp.PallasDistanceBackend(seqs, DIST_INDEL075_DIV_LCS,
+                                       np.float64, block_rows=4)
+        assert dev.nb == 4
+        # Prim-style: from row 0, query everything else (need=64 > 0+4)
+        qids = np.arange(1, 64)
+        np.testing.assert_array_equal(dev.row(0, qids), ref.row(0, qids))
+        # sequential follow-up rows must reuse the widened cache
+        qids2 = np.array([5, 20, 40, 63])
+        np.testing.assert_array_equal(dev.row(1, qids2), ref.row(1, qids2))
+        # and a fresh backend with a sparse far query set
+        dev2 = lp.PallasDistanceBackend(seqs, DIST_INDEL075_DIV_LCS,
+                                        np.float64, block_rows=4)
+        qids3 = np.array([2, 50])
+        np.testing.assert_array_equal(dev2.row(3, qids3), ref.row(3, qids3))
+    finally:
+        lp.lcs_rows = orig_rows
+        lp._pick_ql = orig_ql
+
+
 def test_pallas_backend_rows_batch_matches_numpy_backend():
     """rows_batch (FastTree seeds/assignment/CLARANS path) vs single rows."""
     from famsa_tpu.core.params import DIST_INDEL075_DIV_LCS
