@@ -36,27 +36,38 @@ FALLBACK_BASELINE = 1.713e8
 TARGET_CORES = 32
 
 
-def measure_baseline():
-    """Returns (cells_per_sec, n_threads) of the live reference build."""
+def measure_baseline(n_runs=3):
+    """Returns (cells_per_sec, n_threads) of the live reference build.
+
+    The measurement is the MEDIAN of n_runs alignments: a single run
+    jitters +-15% with host load (round-4 docs carried 0.87x/0.99x/1.1x
+    for the same kernel), which made vs_32core_equiv a moving target."""
     ref_dir = "/root/reference/test/adeno_fiber"
     nthr = os.cpu_count() or 2
     if not os.path.exists(REF_BIN):
         return FALLBACK_BASELINE, 2
-    try:
-        stats = "/tmp/ref_bench_stats.txt"
-        subprocess.run(
-            [REF_BIN, "-t", str(nthr), "-gt", "import",
-             f"{ref_dir}/sl.dnd", "-refine_mode", "off", "-stats", stats,
-             f"{ref_dir}/adeno_fiber", "/tmp/ref_bench_out.fasta"],
-            check=True, capture_output=True, timeout=300)
-        for line in open(stats):
-            if line.startswith("time.alignment="):
-                t = float(line.split("=")[1])
-                return REF_CELLS / t, nthr
-    except Exception as e:
-        print(f"baseline re-measure failed ({e}); using recorded value",
-              file=sys.stderr)
-    return FALLBACK_BASELINE, 2
+    rates = []
+    for _ in range(n_runs):
+        try:
+            stats = "/tmp/ref_bench_stats.txt"
+            subprocess.run(
+                [REF_BIN, "-t", str(nthr), "-gt", "import",
+                 f"{ref_dir}/sl.dnd", "-refine_mode", "off", "-stats", stats,
+                 f"{ref_dir}/adeno_fiber", "/tmp/ref_bench_out.fasta"],
+                check=True, capture_output=True, timeout=300)
+            for line in open(stats):
+                if line.startswith("time.alignment="):
+                    t = float(line.split("=")[1])
+                    rates.append(REF_CELLS / t)
+        except Exception as e:
+            print(f"baseline re-measure failed ({e}); using recorded value",
+                  file=sys.stderr)
+            return FALLBACK_BASELINE, 2
+    if not rates:
+        return FALLBACK_BASELINE, 2
+    print(f"baseline runs: {', '.join(f'{r:.3e}' for r in sorted(rates))} "
+          f"cells/s (median of {len(rates)})", file=sys.stderr)
+    return float(np.median(rates)), nthr
 
 
 # v5e peaks for the roofline lines (one TensorCore: 4 MXUs of 128x128
@@ -276,6 +287,7 @@ def main():
         "unit": "cells/s",
         "vs_baseline": rate / baseline,
         "baseline_threads": nthr,
+        "baseline_measured_cells_s": baseline,
         "vs_32core_equiv": rate / base32,
     }))
 

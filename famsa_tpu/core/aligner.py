@@ -38,6 +38,27 @@ def align_into(dest: Profile, profile1: Profile, profile2: Profile,
 
     dp_ss, dp_sp, dp_pp = dp_seq_seq, dp_seq_prof, dp_prof_prof
     if (backend == "jax" and column_mapping1 is not None
+            and profile1.width * profile2.width >= _SHARD_DP_CELLS):
+        from ..parallel.mesh import auto_mesh
+        _mesh_g = auto_mesh("cols")
+        if _mesh_g is not None:
+            # guided re-alignment too large for one chip: column-shard
+            # with the band mask (same find_row_ranges corridor as the
+            # Mosaic kernels; plain XLA shard_map, no Mosaic needed)
+            from ..parallel.dp_sharded import dp_profile_sharded_paths
+            from .dp import find_row_ranges
+
+            def _dp_guided_sh(params, p1, p2, cm1, cm2):
+                rr = find_row_ranges(cm1, cm2,
+                                     params.guided_alignment_radius)
+                lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+                hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+                return dp_profile_sharded_paths(params, p1, p2, _mesh_g,
+                                                bands=(lo, hi))
+
+            dp_sp = dp_pp = _dp_guided_sh
+    if (dp_sp is dp_seq_prof
+            and backend == "jax" and column_mapping1 is not None
             and profile1.width * profile2.width >= _JAX_MIN_CELLS):
         # guided (refinement) re-alignment on device: the Mosaic kernel
         # masks cells outside the find_row_ranges band (reference

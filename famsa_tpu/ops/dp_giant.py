@@ -50,7 +50,8 @@ from ..core.defs import NO_AMINOACIDS_AND_GAPS
 from .dp_pallas import (COL0_PACK, LANE_PAD, NEG_HI, NEG_LO, MergedRef,
                         PendingPaths, _D, _H, _V, _forward_paths, _k_pmul_u32,
                         _leaf_counters_dev_b, _pack_kernel_inputs,
-                        _stage0_one, _traceback_one, merged_counters_device,
+                        _stage0_one, _traceback_one, _traceback_runs,
+                        merged_counters_device,
                         p_add, p_gt, p_max, p_sub, p_where)
 
 FOLDS = 8
@@ -359,15 +360,16 @@ def _side_counters(c, leaf, wp):
     return out.at[:c.shape[0]].set(c.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("lw", "w1p", "blk",
-                                             "interpret", "banded", "merged",
-                                             "nl"))
-# gp (gap costs) is TRACED: params.adjust rescales gap costs with the
-# input's sequence count, and a static gp would fork a fresh compiled
-# variant (minutes on the remote AOT helper) per family size.
-def _dp_giant_tb(c1s, leaf1, c2s, leaf2, w1, w2, card1, card2, sm, gp,
-                 lw, w1p, blk=BLK, interpret=False, banded=False,
-                 blo=None, bhi=None, merged=False, nl=4):
+def _giant_core(c1s, leaf1, c2s, leaf2, w1, w2, card1, card2, sm, gp,
+                lw, w1p, blk=BLK, interpret=False, banded=False,
+                blo=None, bhi=None, merged=False, nl=4, want_width=False,
+                skip_tb=False):
+    """Traceable giant-merge body (jitted as _dp_giant_tb; also traced
+    inside the chain scan, ops/dp_chain.py).  want_width additionally
+    returns the merged width (path length) as a device scalar - the
+    chain carry needs it without a host pull.  skip_tb: measurement-only
+    (scripts/chain_profile.py ablation) - stop after the DP kernel and
+    return a tiny slice that keeps it live."""
     w2p_eff = FOLDS * lw - LANE_PAD
     c1d = _side_counters(c1s, leaf1, w1p)
     c2d = _side_counters(c2s, leaf2, w2p_eff)
@@ -417,6 +419,8 @@ def _dp_giant_tb(c1s, leaf1, c2s, leaf2, w1, w2, card1, card2, sm, gp,
     dirs_st, fins_st = _run_giant(scal, h0p, lastm_g, colf_g, s2_g,
                                   rowf_g, c1_g, T, lw, blk,
                                   banded=banded, interpret=interpret)
+    if skip_tb:
+        return (dirs_st[0, 0, 0, :16] + fins_st[0, 0, 0, :1])[None, :]
 
     # finals -> dir0 / total (reference final-cell pick, profile.cpp)
     f = jax.lax.dynamic_slice(fins_st, (t_fin, r_fin, sf, jnp.int32(0)),
@@ -443,7 +447,10 @@ def _dp_giant_tb(c1s, leaf1, c2s, leaf2, w1, w2, card1, card2, sm, gp,
         [jax.lax.slice(st2, (fd * blk, fd, 0), (fd * blk + w1p, fd + 1, lw))
          .reshape(w1p, lw) for fd in range(FOLDS)], axis=1)
 
-    emits = _traceback_one(dirs_m, w1, w2, dir0, w1p + FOLDS * lw)
+    # run-jumping traceback: chain-shaped merges (w2 >> w1) spend ~11 ms
+    # in the per-cell walk (scripts/giant_profile.py) vs ~w1 serial steps
+    # of run jumps
+    emits = _traceback_runs(dirs_m, w1, w2, dir0, w1p + FOLDS * lw)
 
     s = emits.shape[0]
     sp = -(-s // 16) * 16
@@ -459,14 +466,26 @@ def _dp_giant_tb(c1s, leaf1, c2s, leaf2, w1, w2, card1, card2, sm, gp,
     if not merged:
         return packed
     fwd = _forward_paths(emits[None], dir0[None])[0]
-    mc = merged_counters_device(c1d, c2d, fwd, w1, w2, card1, card2, nl=nl)
+    mc = merged_counters_device(c1d, c2d, fwd, w1, w2, card1, card2, nl=nl,
+                                blocked=True)
     # standardized device-resident shape: every giant result is
     # [GMAX_ROWS, 32] so chained dispatches hit one compiled program
     if mc.shape[0] >= GMAX_ROWS:
         mc = mc[:GMAX_ROWS]
     else:
         mc = jnp.zeros((GMAX_ROWS, 32), jnp.int32).at[:mc.shape[0]].set(mc)
+    if want_width:
+        width = jnp.sum((emits != 3).astype(jnp.int32), dtype=jnp.int32)
+        return packed, mc, width
     return packed, mc
+
+
+# gp (gap costs) is TRACED: params.adjust rescales gap costs with the
+# input's sequence count, and a static gp would fork a fresh compiled
+# variant (minutes on the remote AOT helper) per family size.
+_dp_giant_tb = functools.partial(jax.jit, static_argnames=(
+    "lw", "w1p", "blk", "interpret", "banded", "merged", "nl",
+    "want_width"))(_giant_core)
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +589,11 @@ def prewarm(block=False):
     of an already-warm variant are unaffected."""
     global _PREWARMED
     if _PREWARMED or os.environ.get("FAMSA_TPU_PREWARM", "1") != "1":
+        return None
+    if jax.default_backend() != "tpu":
+        # Mosaic programs only exist on TPU; compiling them on the CPU
+        # fallback backend wastes minutes and leaves a daemon compile
+        # thread alive at interpreter exit (observed SIGABRT)
         return None
     _PREWARMED = True
     import threading

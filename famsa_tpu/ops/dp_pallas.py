@@ -998,6 +998,165 @@ def _traceback_one(dirs_m, w1, w2, dir0, nsteps):
     return em.reshape(iters * (T - 1))
 
 
+def _rj_maxr(w1p, w2pe, tw):
+    """RLE SLOT bound for _traceback_runs (every active step writes a
+    2-slot stride).  Valid-path census: single steps S1 <= w1 (each
+    consumes one i-decrement); stop-pairs P <= S1 + 1 (a stop hands d to
+    D/V, so a single step follows); window-edge (nostop) runs N <= S1 +
+    P + w2/tw + 2 (consecutive nostops each consume a full tw-wide
+    window).  Active steps <= S1 + P + N + tails <= 4*w1 + w2/tw + c."""
+    return 2 * (4 * w1p + w2pe // tw + 16)
+
+
+def _traceback_runs(dirs_m, w1, w2, dir0, nsteps, tr=8, tw=512):
+    """Run-jumping traceback: same emits contract as _traceback_one
+    (emits [nsteps] i32, 2-bit codes then sentinel 3), but whole
+    H-channel runs collapse into ONE masked-reduce step instead of
+    per-cell walks.  The serial per-cell walk costs ~1.2 us/step on TPU
+    (~11 ms for a chain-shaped giant merge, measured scripts/
+    giant_profile.py); chain paths are H-dominant (w2 >> w1), so jumping
+    H-runs bounds the serial work by the D/V step count (~w1) instead of
+    the path length (~w2).
+
+    The walk writes (code, len) RLE entries; a vectorized interval-
+    membership pass expands them to the dense emits array.  Exact only
+    for dirs matrices produced by the DP kernels (valid traceback paths
+    never step outside the [0..w1]x[0..w2] grid)."""
+    w1p, w2pe = dirs_m.shape
+    tr = min(tr, w1p)
+    tw = min(tw, w2pe)
+    maxr = _rj_maxr(w1p, w2pe, tw)
+    riota = jnp.arange(tr, dtype=jnp.int32)[:, None]
+    liota = jnp.arange(tw, dtype=jnp.int32)
+    cH, cV = jnp.int32(_H), jnp.int32(_V)
+
+    def body(st):
+        i, j, d, done, nr, codes, lens = st
+        r0 = jnp.clip(i - tr, 0, w1p - tr)
+        c0 = jnp.clip(j - tw + 1, 0, w2pe - tw)
+        win = jax.lax.dynamic_slice(dirs_m, (r0, c0), (tr, tw))
+        li = i - 1 - r0
+        lj = j - c0
+
+        for _u in range(8):
+            act = ~done & ((li >= 0) & (lj >= 0) | (i == 0) | (j == 0))
+            tailH = (i == 0) & (j > 0) & (d == _H)
+            tailV = (j == 0) & (i > 0) & (d == _V)
+            rowv = jnp.sum(jnp.where(riota == li, win, 0), axis=0,
+                           dtype=jnp.int32)                      # [tw]
+            cell = jnp.sum(jnp.where(liota == lj, rowv, 0),
+                           dtype=jnp.int32)
+            # --- exact single-step (the _traceback_one formulas) ---
+            at_i0 = (i == 0) & (j > 0)
+            at_j0 = (j == 0) & (i > 0)
+            nd1 = jax.lax.shift_right_logical(
+                cell, (2 * d).astype(jnp.int32)) & jnp.int32(3)
+            nd1 = jnp.where(at_i0, cH, nd1)
+            nd1 = jnp.where(at_j0, cV, nd1)
+            di = ((d == _D) | (d == _V)).astype(jnp.int32)
+            dj = ((d == _D) | (d == _H)).astype(jnp.int32)
+            # --- H-run jump (d == H, i >= 1, j >= 1) ---
+            fH = jax.lax.shift_right_logical(rowv, jnp.full(
+                rowv.shape, 2, rowv.dtype)) & jnp.int32(3)
+            stopm = (fH != _H) & (liota <= lj)
+            spos = jnp.max(jnp.where(stopm, liota, -1))
+            xcode = jnp.sum(jnp.where(liota == spos, fH, 0),
+                            dtype=jnp.int32)
+            nostop = spos < 0
+            run = jnp.where(nostop, lj + 1, lj - spos)
+            hrun = act & (d == _H) & (i > 0) & (j > 0)
+
+            # entry selection (two slots per active step)
+            e1c = jnp.where(tailH, cH,
+                            jnp.where(tailV, cV,
+                                      jnp.where(hrun, cH, nd1)))
+            e1l = jnp.where(tailH, j,
+                            jnp.where(tailV, i,
+                                      jnp.where(hrun, run, jnp.int32(1))))
+            e2c = jnp.where(hrun & ~nostop, xcode, jnp.int32(3))
+            e2l = jnp.where(hrun & ~nostop, jnp.int32(1), jnp.int32(0))
+
+            ni = jnp.where(tailH | tailV, jnp.int32(0),
+                           jnp.where(hrun, i, i - di))
+            nj = jnp.where(tailH, jnp.int32(0),
+                           jnp.where(tailV, j,
+                                     jnp.where(hrun,
+                                               jnp.where(nostop, j - lj - 1,
+                                                         j - run - 1),
+                                               j - dj)))
+            nli = jnp.where(hrun, li, li - di)
+            nlj = jnp.where(hrun,
+                            jnp.where(nostop, jnp.int32(-1), spos - 1),
+                            lj - dj)
+            ndn = jnp.where(tailH | tailV, d,
+                            jnp.where(hrun,
+                                      jnp.where(nostop, cH, xcode), nd1))
+
+            codes = jax.lax.dynamic_update_slice(
+                codes, jnp.stack([e1c, e2c]), (nr,))
+            lens = jax.lax.dynamic_update_slice(
+                lens, jnp.stack([jnp.where(act, e1l, 0),
+                                 jnp.where(act, e2l, 0)]), (nr,))
+            nr = jnp.where(act, nr + 2, nr)
+            i = jnp.where(act, ni, i)
+            j = jnp.where(act, nj, j)
+            li = jnp.where(act, nli, li)
+            lj = jnp.where(act, nlj, lj)
+            d = jnp.where(act, ndn, d)
+            # i/j < 0 is unreachable on valid DP paths; stop rather than
+            # spin (invalid inputs produce different junk than
+            # _traceback_one, which keeps walking - acceptable)
+            done = done | tailH | tailV | ((i == 0) & (j == 0)) \
+                | (i < 0) | (j < 0)
+        return (i, j, d, done, nr, codes, lens)
+
+    def cond(st):
+        return (~st[3]) & (st[4] < maxr - 2)
+
+    init = (w1.astype(jnp.int32), w2.astype(jnp.int32),
+            dir0.astype(jnp.int32), (w1 == 0) & (w2 == 0),
+            jnp.int32(0),
+            jnp.full((maxr,), 3, jnp.int32), jnp.zeros((maxr,), jnp.int32))
+    _, _, _, _, _, codes, lens = jax.lax.while_loop(cond, body, init)
+
+    # RLE -> dense emits: interval membership, BLOCKED - a step block of
+    # B covers at most 2B+4 RLE slots (every active step writes a 2-slot
+    # stride and consumes >= 1 path step), so each block compares
+    # against a dynamic slice of the entry arrays instead of all maxr
+    # (the full [nsteps, maxr] compare tensor dominates at giant shapes).
+    # A codes[idx] gather would lower to a serial loop on TPU.
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)])
+    total = starts[maxr]
+    B = 512
+    nb = -(-nsteps // B)
+    me = 2 * B + 8
+    starts_pad = jnp.concatenate(
+        [starts, jnp.full((me,), jnp.int32(0x7FFFFFFF))])
+    codes_pad = jnp.concatenate([codes, jnp.full((me,), 3, jnp.int32)])
+    # first slot whose interval can intersect block b: the last slot
+    # with start <= b*B (cumulative starts are non-decreasing)
+    bidx = jnp.arange(nb, dtype=jnp.int32) * B
+    r0 = jnp.sum((starts[None, :maxr] <= bidx[:, None]).astype(jnp.int32),
+                 axis=1) - 1
+    r0 = jnp.clip(r0, 0, maxr - 1)
+    pb = jnp.arange(B, dtype=jnp.int32)
+
+    def blk(_, inp):
+        b0, rr = inp
+        st = jax.lax.dynamic_slice(starts_pad, (rr,), (me + 1,))
+        cd = jax.lax.dynamic_slice(codes_pad, (rr,), (me,))
+        p = (b0 + pb)[:, None]
+        inside = (p >= st[None, :me]) & (p < st[None, 1:])
+        return _, jnp.sum(jnp.where(inside, cd[None], 0), axis=1,
+                          dtype=jnp.int32)
+
+    _, eb = jax.lax.scan(blk, 0, (bidx, r0))
+    emits = eb.reshape(nb * B)[:nsteps]
+    p = jnp.arange(nsteps, dtype=jnp.int32)
+    return jnp.where(p < total, emits, jnp.int32(3))
+
+
 def _tb_impl(colp, xs, w1v, w2v, sb, blk, w1p, w2p, banded=False,
              interpret=False,
              single=False, tb=None, fin0=0, smallc=False):
@@ -1726,22 +1885,39 @@ def _onehot_rows(oh, mat, nl):
     return out
 
 
-def _onehot_reduce(oh, vec, nl):
-    """Exact scatter-add as the transposed one-hot matmul: out[c, q] =
-    sum_k oh[k, c] * vec[k, q].  vec [S, Q] i32, 0 <= value < 2^(7*nl);
-    every f32 partial sum is < S * 127 < 2^24, so the i32 round-trip is
-    lossless."""
-    out = None
-    for l in range(nl):
-        limb = ((vec >> (7 * l)) & 127).astype(jnp.bfloat16)
-        d = jax.lax.dot_general(
-            oh, limb, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32) << (7 * l)
-        out = d if out is None else out + d
-    return out
+def _gather_rows_monotone(c, pos, nl, B=512):
+    """c[pos] and c[pos+1] for MONOTONE pos with per-step increments
+    <= 1, via per-block local one-hots: a block of B steps spans <= B+2
+    parent rows, so each one-hot is [B, B+2] against a dynamic slice of
+    c.  The full [S, W] one-hot this replaces is ~570 MB of bf16 HBM
+    traffic per gather at chain shapes (S ~ 17e3, W ~ 16e3) - measured
+    as the dominant per-merge cost of the chain dispatcher."""
+    S = pos.shape[0]
+    C = c.shape[1]
+    nb = -(-S // B)
+    sp = nb * B
+    posp = pos if sp == S else jnp.concatenate(
+        [pos, jnp.broadcast_to(pos[-1:], (sp - S,))])
+    posb = posp.reshape(nb, B)
+    starts = posb[:, 0]
+    cpad = jnp.concatenate(
+        [c.astype(jnp.int32), jnp.zeros((B + 2, C), jnp.int32)])
+    cols = jnp.arange(B + 2, dtype=jnp.int32)
+
+    def blk(_, inp):
+        pb, start = inp
+        sl = jax.lax.dynamic_slice(cpad, (start, jnp.int32(0)), (B + 2, C))
+        loc = pb - start
+        ohc = (loc[:, None] == cols).astype(jnp.bfloat16)
+        ohn = (loc[:, None] + 1 == cols).astype(jnp.bfloat16)
+        return _, (_onehot_rows(ohc, sl, nl), _onehot_rows(ohn, sl, nl))
+
+    _, (curb, nxtb) = jax.lax.scan(blk, 0, (posb, starts))
+    return (curb.reshape(sp, C)[:S], nxtb.reshape(sp, C)[:S])
 
 
-def merged_counters_device(c1, c2, emits, w1, w2, card1, card2, nl=4):
+def merged_counters_device(c1, c2, emits, w1, w2, card1, card2, nl=4,
+                           blocked=False):
     """c1 [w1p+1, 32], c2 [w2p+1, 32] (any int dtype), emits [S] i32 path
     codes (0=D 1=H 2=V, 3=done sentinel), w1/w2/card1/card2 i32 scalars.
     nl (static): 7-bit limbs covering every parent counter value
@@ -1750,7 +1926,7 @@ def merged_counters_device(c1, c2, emits, w1, w2, card1, card2, nl=4):
     path zero).
 
     All row gathers along the path and the transfer scatter run as exact
-    one-hot limb matmuls on the MXU (_onehot_rows/_onehot_reduce): the
+    one-hot limb matmuls on the MXU (_onehot_rows): the
     XLA gather/scatter lowerings they replace executed serially on TPU
     and cost ~2.7 ms per merge - 2/3 of the whole DP dispatch.
 
@@ -1784,31 +1960,41 @@ def merged_counters_device(c1, c2, emits, w1, w2, card1, card2, nl=4):
     isH = valid & (e == _H)
     isV = valid & (e == _V)
 
-    def side(c, w, size, start_mask, run_mask, pos):
+    def side(c, w, size, start_mask, run_mask, pos, adv):
         """One parent's contribution: (advance rows with the open->ext
         transfers applied [S, 32], gap-run category counts [S] x4)."""
-        W = c.shape[0]
-        cols = jnp.arange(W, dtype=it)[None, :]
-        oh_cur = (pos[:, None] == cols).astype(jnp.bfloat16)
-        oh_nxt = (pos[:, None] + 1 == cols).astype(jnp.bfloat16)
-        cur = _onehot_rows(oh_cur, c, nl)    # rows c[pos]
-        nxt = _onehot_rows(oh_nxt, c, nl)    # rows c[pos+1] (zero at ==W;
-        # the old clipped gather read row W-1 there, but every consumer
-        # masks that case: transfers need pos < w, run_vals overrides
-        # with the at-end closed form when pos >= w)
+        if blocked:
+            # chain/giant shapes: the [S, W] one-hots below are the
+            # dominant per-merge cost; blocked monotone gathers instead
+            cur, nxt = _gather_rows_monotone(c, pos, nl)
+        else:
+            W = c.shape[0]
+            cols = jnp.arange(W, dtype=it)[None, :]
+            oh_cur = (pos[:, None] == cols).astype(jnp.bfloat16)
+            oh_nxt = (pos[:, None] + 1 == cols).astype(jnp.bfloat16)
+            cur = _onehot_rows(oh_cur, c, nl)    # rows c[pos]
+            nxt = _onehot_rows(oh_nxt, c, nl)    # c[pos+1] (zero at ==W;
+            # the old clipped gather read row W-1 there, but every
+            # consumer masks that case: transfers need pos < w, run_vals
+            # overrides with the at-end closed form when pos >= w)
 
         # ---- transfers (profile.cpp:840-975): one per gap-run start,
-        # applied to parent column pos+1 (distinct target columns)
-        on = start_mask & (pos < w)
-        t = jnp.where(on & (pos > 0), nxt[:, GAP_OPEN], it(0))
-        tt = jnp.where(on, nxt[:, GAP_TERM_OPEN], it(0))
-        dq = _onehot_reduce(oh_nxt, jnp.stack([t, tt], axis=1), nl)
-        dg = _onehot_rows(oh_cur, dq, nl)    # [S, 2]: dq[pos[k]]
+        # applied to parent column pos+1.  That target column's
+        # consumption step is ALWAYS the advance step immediately after
+        # the run (this side advances on every non-run code, and pos is
+        # strictly monotone across advances), so the old scatter
+        # (_onehot_reduce) + re-gather collapses to an elementwise form:
+        # the consuming step reads its OWN cur row (= c[run pos + 1])
+        prev_run = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), run_mask[:-1]])
+        hit = adv & prev_run
+        dg_t = jnp.where(hit & (pos > 1), cur[:, GAP_OPEN], it(0))
+        dg_tt = jnp.where(hit, cur[:, GAP_TERM_OPEN], it(0))
 
-        curt = cur.at[:, GAP_EXT].add(dg[:, 0])
-        curt = curt.at[:, GAP_OPEN].add(-dg[:, 0])
-        curt = curt.at[:, GAP_TERM_EXT].add(dg[:, 1])
-        curt = curt.at[:, GAP_TERM_OPEN].add(-dg[:, 1])
+        curt = cur.at[:, GAP_EXT].add(dg_t)
+        curt = curt.at[:, GAP_OPEN].add(-dg_t)
+        curt = curt.at[:, GAP_TERM_EXT].add(dg_tt)
+        curt = curt.at[:, GAP_TERM_OPEN].add(-dg_tt)
 
         # ---- gap-run category counts (SolveGapsProblemWhenStarting /
         # Continuing, profile.cpp:1116-1220) from ORIGINAL counters.  pos
@@ -1847,8 +2033,8 @@ def merged_counters_device(c1, c2, emits, w1, w2, card1, card2, nl=4):
         return curt, (jnp.where(run_mask, o, z), jnp.where(run_mask, ee, z),
                       jnp.where(run_mask, to, z), jnp.where(run_mask, te, z))
 
-    curt1, gv1 = side(c1, w1, card1, sH, isH, i_k)
-    curt2, gv2 = side(c2, w2, card2, sV, isV, j_k)
+    curt1, gv1 = side(c1, w1, card1, sH, isH, i_k, adv1)
+    curt2, gv2 = side(c2, w2, card2, sV, isV, j_k, adv2)
 
     # ---- assemble merged columns: step k -> column k+1
     r1 = jnp.where(adv1[:, None], curt1, it(0))

@@ -104,7 +104,7 @@ def _prim_device_chunk(table, queries, lengths, cur, dist, tieb, active,
 
 
 def prim_device(table, queries, lengths, unroll=1, pallas_meta=None,
-                chunk=None):
+                chunk=None, after_first_chunk=None):
     """Run all n-1 Prim rounds on device, chunked (see _prim_device_chunk).
 
     table: [32, N, W] uint32 query masks (XLA path) or the packed
@@ -131,16 +131,27 @@ def prim_device(table, queries, lengths, unroll=1, pallas_meta=None,
         state = tuple(state)
         outs.append((e1, e2, dneg, bests))
         done += k
+        if after_first_chunk is not None:
+            # the round program is compiled now and the remaining chunks
+            # execute without the AOT helper - the caller can start
+            # compiling the ALIGNMENT stage's programs in the shadow of
+            # the remaining tree rounds
+            cb, after_first_chunk = after_first_chunk, None
+            cb()
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[i] for o in outs]) for i in range(4))
 
 
-def mst_prim_tree_device(sequences, tree, measure=None, use_pallas=None):
+def mst_prim_tree_device(sequences, tree, measure=None, use_pallas=None,
+                         after_first_chunk=None):
     """Device MST-Prim + host dendrogram (drop-in for tree/mst_prim.py).
 
     use_pallas: run the per-round LCS as the Mosaic kernel
-    (ops/lcs_pallas.py) instead of the XLA scan - default on TPU."""
+    (ops/lcs_pallas.py) instead of the XLA scan - default on TPU.
+    after_first_chunk: called once when the round program is compiled
+    and executing (see prim_device) - the pipeline hooks its DP-program
+    prewarm here so alignment-stage compiles hide under tree rounds."""
     import jax as _jax
     from ..tree.mst_prim import _mst_to_dendrogram
 
@@ -167,12 +178,13 @@ def mst_prim_tree_device(sequences, tree, measure=None, use_pallas=None):
         tab, _, _ = pack_query_table(padded, ql)
         e1, e2, dneg, bests = prim_device(
             jnp.asarray(tab), jnp.asarray(padded.astype(np.int32)),
-            jnp.asarray(lengths), pallas_meta=(w, ql, False))
+            jnp.asarray(lengths), pallas_meta=(w, ql, False),
+            after_first_chunk=after_first_chunk)
     else:
         table = build_query_mask_table(padded)
         e1, e2, dneg, bests = prim_device(
             jnp.asarray(table), jnp.asarray(padded.astype(np.int32)),
-            jnp.asarray(lengths))
+            jnp.asarray(lengths), after_first_chunk=after_first_chunk)
     e1 = np.asarray(e1)
     e2 = np.asarray(e2)
     dneg = np.asarray(dneg)

@@ -99,6 +99,12 @@ def _sharded_program(mesh, w1p, L, axis):
             D = jnp.where(pickD, tD, jnp.where(pickH, tH, tV))
             dD = jnp.where(pickD, _D, jnp.where(pickH, _H, _V)).astype(jnp.uint8)
             D = jnp.where(jg == 0, neg, D)
+            # guided band (reference row_ranges, profile.cpp:1320-1365):
+            # cells outside [blo, bhi] read -inf, exactly the Mosaic
+            # kernels' banded masking; unguided merges pass the full
+            # range so one compiled program serves both
+            inb = (jg >= x["blo"]) & (jg <= x["bhi"])
+            D = jnp.where(inb, D, neg)
 
             three = x["i_gt1"] & (jg > 1)
 
@@ -119,6 +125,7 @@ def _sharded_program(mesh, w1p, L, axis):
                            jnp.where(pickD2, _D, _V).astype(jnp.uint8))
             V0 = jnp.where(x["v0_on"], jnp.maximum(pD, pV) + x["v0_cost"], neg)
             V = jnp.where(jg == 0, V0, V)
+            V = jnp.where(inb | (jg == 0), V, neg)
 
             # ---- H channel (two-phase max-plus prefix scan) ----
             gh_s = (x["g1so"] * p2o + x["g1se"] * p2e
@@ -148,6 +155,7 @@ def _sharded_program(mesh, w1p, L, axis):
             run = jnp.maximum(run_loc, carry_in)
             H = bc + jnp.maximum(run, neg)
             H = jnp.where(jg == 0, neg, H)
+            H = jnp.where(inb, H, neg)
 
             tHh = halo(H[None], fills2[:1])[0] + gh_c
             pickD3h = (m0 > tHh) & (m0 > mv)
@@ -175,9 +183,22 @@ def _sharded_program(mesh, w1p, L, axis):
     return jax.jit(run)
 
 
-def dp_profile_sharded(params, profile1, profile2, mesh, axis="cols"):
-    """Column-sharded DP for one (unguided) seq-prof/prof-prof merge.
-    Returns a JaxDPResult (packed directions + final D/H/V) identical to
+def _band_rows(bands, w1, w1p, L):
+    """[w1p] per-row band lo/hi (DP row r+1), full range by default."""
+    blo = np.zeros(w1p, dtype=np.int64)
+    bhi = np.full(w1p, L, dtype=np.int64)
+    if bands is not None:
+        lo, hi = bands
+        blo[:w1] = np.asarray(lo[1:w1 + 1], dtype=np.int64)
+        bhi[:w1] = np.asarray(hi[1:w1 + 1], dtype=np.int64)
+    return blo, bhi
+
+
+def dp_profile_sharded(params, profile1, profile2, mesh, axis="cols",
+                       bands=None):
+    """Column-sharded DP for one seq-prof/prof-prof merge (optionally
+    guided: bands = find_row_ranges (lo, hi) arrays).  Returns a
+    JaxDPResult (packed directions + final D/H/V) identical to
     ops/dp_jax.py's dp_profile_jax."""
     w1 = profile1.width
     w1p, w2p = _bucket(w1), _bucket(profile2.width)
@@ -185,6 +206,7 @@ def dp_profile_sharded(params, profile1, profile2, mesh, axis="cols"):
 
     S = mesh.devices.size
     L = -(-(w2p + 1) // S) * S
+    xs["blo"], xs["bhi"] = _band_rows(bands, w1, w1p, L)
 
     def padL(a, fill=0):
         out = np.full((L,) + a.shape[1:], fill, dtype=a.dtype)
@@ -230,7 +252,8 @@ def dp_profile_sharded(params, profile1, profile2, mesh, axis="cols"):
 _tb_sharded = None
 
 
-def dp_profile_sharded_paths(params, profile1, profile2, mesh, axis="cols"):
+def dp_profile_sharded_paths(params, profile1, profile2, mesh, axis="cols",
+                             bands=None):
     """Column-sharded DP + on-device traceback: only the O(W) path (2-bit
     codes) and the [w1p] final-channel vectors leave the device - a
     >= 2e8-cell merge's dirs matrix is >= 200 MB against the ~20-40 MB/s
@@ -257,9 +280,11 @@ def dp_profile_sharded_paths(params, profile1, profile2, mesh, axis="cols"):
         # tiny merge (tests only): the tiled traceback's [32, 32] window
         # gather needs both dims; fall back to the dirs-returning variant
         # (construct walks them on host)
-        return dp_profile_sharded(params, profile1, profile2, mesh, axis)
+        return dp_profile_sharded(params, profile1, profile2, mesh, axis,
+                                  bands=bands)
 
     col, xs = _prepare_inputs(params, profile1, profile2, w1p, w2p)
+    xs["blo"], xs["bhi"] = _band_rows(bands, w1, w1p, L)
 
     def padL(a, fill=0):
         out = np.full((L,) + a.shape[1:], fill, dtype=a.dtype)

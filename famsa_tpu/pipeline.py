@@ -131,7 +131,20 @@ def build_guide_tree(params, sequences, tree: GuideTree):
             else:
                 # whole-tree Prim in one device program (ops/prim_device.py)
                 from .ops.prim_device import mst_prim_tree_device
-                mst_prim_tree_device(sequences, tree_list)
+
+                cb = None
+                if not params.export_tree:
+                    # alignment follows: compile its device programs in
+                    # the shadow of the remaining tree rounds (the AOT
+                    # helper is serial, so this must start only after
+                    # the Prim round program itself is compiled)
+                    def cb():
+                        from .ops.dp_chain import prewarm as chain_prewarm
+                        from .ops.dp_giant import prewarm as giant_prewarm
+                        giant_prewarm()
+                        chain_prewarm()
+                mst_prim_tree_device(sequences, tree_list,
+                                     after_first_chunk=cb)
         else:
             be = get_distance_backend(sequences, measure, np.float64, backend)
             mst_prim_tree(n, lambda ref, ids: be.row(ref, ids), tree_list,
@@ -278,8 +291,10 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     and p1.width * p2.width >= giant_min_cells)
 
         if not _interp:
+            from .ops.dp_chain import prewarm as _chain_prewarm
             from .ops.dp_giant import prewarm
             prewarm()
+            _chain_prewarm()
     else:
         class _SyncPending:
             def __init__(self, results):
@@ -356,8 +371,147 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     stats_on = os.environ.get("FAMSA_TPU_SCHED_STATS", "0") == "1"
     import time as _time
     rt = {"host": [0, 0.0], "giant": [0, 0.0], "batched": [0, 0.0],
-          "sharded": [0, 0.0], "resolve_giant": [0, 0.0],
+          "sharded": [0, 0.0], "chain": [0, 0.0], "resolve_giant": [0, 0.0],
           "resolve_batched": [0, 0.0], "prep": [0, 0.0]}
+
+    # ---- chain-run detection (ops/dp_chain.py): maximal sequences of
+    # merges where each consumes the previous merge plus ONE tree leaf -
+    # the serialized caterpillar sections where per-merge device round
+    # trips (~26 ms) would otherwise force the host route
+    chain_by_start = {}
+    use_chain = (use_pallas and ref_thr == 0
+                 and os.environ.get("FAMSA_TPU_CHAIN", "1") == "1")
+    if use_chain:
+        from .ops.dp_chain import CHAIN_MIN_LEN, CHAIN_W1P
+        runs_by_tail = {}
+        for v in sorted(children):
+            a, b = children[v]
+            la, lb = a < n, b < n
+            if la == lb:
+                continue                      # leaf-leaf or internal pair
+            leaf, internal = (a, b) if la else (b, a)
+            if gapped_sequences[leaf].size > CHAIN_W1P:
+                continue
+            if internal in runs_by_tail and parent_of.get(internal) == v:
+                run = runs_by_tail.pop(internal)
+            else:
+                run = []
+            run.append((v, leaf))
+            runs_by_tail[v] = run
+        for run in runs_by_tail.values():
+            if len(run) >= CHAIN_MIN_LEN:
+                chain_by_start[run[0][0]] = run
+
+    def _run_chain(run):
+        """Process one chain run: host route below the width floor, then
+        device-resident chunks (one round trip per CHAIN_K merges).
+        Suppresses intra-chain release() - the chain IS the dependency
+        order - and releases only the last node it completes."""
+        from .ops.dp_chain import (CHAIN_K, CHAIN_MIN_W2, ChainState,
+                                   dispatch_chain_chunk, lw_for)
+        from .ops.dp_pallas import MergedRef
+
+        t0c = _time.perf_counter()
+        v0, leaf0 = run[0]
+        a0, b0 = children[v0]
+        start_id = a0 if b0 == leaf0 else b0
+        chain_prof = get_profile(start_id)
+        if chain_prof.counters is None:
+            chain_prof.calculate_counters_scores()
+
+        idx = 0
+        last_v = None
+        # narrow prefix: the fold kernel's 8*lw column padding loses to
+        # the native host DP below the width floor
+        while idx < len(run) and chain_prof.width < CHAIN_MIN_W2:
+            v, leaf = run[idx]
+            aa, bb = children[v]
+            lp = get_profile(leaf)
+            dest = Profile(params)
+            if aa == leaf:
+                align_into(dest, lp, chain_prof, backend="numpy")
+            else:
+                align_into(dest, chain_prof, lp, backend="numpy")
+            chain_prof = dest
+            last_v = v
+            idx += 1
+            _tick()
+
+        if idx < len(run):
+            state = ChainState.seed(chain_prof, dev=chain_prof.dev_counters)
+            chain_prof.dev_counters = None
+            inflight = deque()          # (chunk nodes+leaves, wsum, pending)
+            bound_extra = [0]           # widths of un-resolved chunks
+            aborted = False
+
+            def resolve_one():
+                nonlocal chain_prof, last_v
+                chunk, wsum, pend = inflight.popleft()
+                for (v, lp), res in zip(chunk, pend.resolve()):
+                    if lp.counters is None:
+                        lp.calculate_counters_scores()
+                    dest = Profile(params)
+                    _construct(dest, lp, chain_prof, res)
+                    chain_prof = dest
+                    last_v = v
+                    _tick()
+                bound_extra[0] -= wsum
+                state.w_host = chain_prof.width
+
+            while idx < len(run) or inflight:
+                if idx < len(run) and len(inflight) < 2 and not aborted:
+                    # grow the chunk only while the conservative width
+                    # bound (resolved width + every un-resolved leaf +
+                    # this chunk) fits a fold variant: near the capacity
+                    # ceiling, chunks SHRINK instead of aborting
+                    chunk = []
+                    wsum = 0
+                    base = state.w_host + bound_extra[0]
+                    while idx < len(run) and len(chunk) < CHAIN_K:
+                        nxt_w = gapped_sequences[run[idx][1]].size
+                        if lw_for(base + wsum + nxt_w + 1) is None:
+                            break
+                        v, leaf = run[idx]
+                        chunk.append((v, get_profile(leaf)))
+                        wsum += nxt_w
+                        idx += 1
+                    if not chunk:
+                        if inflight:
+                            # resolving tightens the bound (real widths
+                            # grow far slower than the leaf-sum bound)
+                            resolve_one()
+                            continue
+                        # genuinely too wide even fully resolved: hand
+                        # the remaining merges to normal routing
+                        aborted = True
+                        break
+                    pend = dispatch_chain_chunk(
+                        params, state, [lp for _, lp in chunk],
+                        lw_for(base + wsum + 1),
+                        card_bound=len(chain_prof.data) + bound_extra[0]
+                        + CHAIN_K * 2 + len(run),
+                        interpret=_interp)
+                    bound_extra[0] += wsum
+                    inflight.append((chunk, wsum, pend))
+                    continue
+                resolve_one()
+            if not aborted and last_v == run[-1][0]:
+                # final profile keeps its device-resident counters for
+                # the post-chain merge
+                chain_prof.dev_counters = MergedRef(
+                    state.c[None], 0, chain_prof.width + 1)
+
+        if last_v is None:
+            # nothing completed (start already too wide for the fold
+            # kernel): restore the start profile and let v0 route
+            # normally
+            done[start_id] = chain_prof
+            heapq.heappush(heap, (-depth.get(v0, 0), v0))
+        else:
+            done[last_v] = chain_prof
+            release(last_v)
+        rt["chain"][0] += idx
+        rt["chain"][1] += _time.perf_counter() - t0c
     n_workers = min(os.cpu_count() or 1, 8)
     if n_workers > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -371,6 +525,16 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
         if heap and len(pending) < max_inflight:
             batch_nodes = [heapq.heappop(heap)[1]
                            for _ in range(min(len(heap), chunk_nodes))]
+
+            if chain_by_start:
+                rest = []
+                for node_id in batch_nodes:
+                    run = chain_by_start.pop(node_id, None)
+                    if run is not None:
+                        _run_chain(run)
+                    else:
+                        rest.append(node_id)
+                batch_nodes = rest
 
             tasks = []
             for node_id in batch_nodes:

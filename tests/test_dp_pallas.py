@@ -238,6 +238,47 @@ def test_dp_pallas_production_buckets():
         dpp._pallas_bucket = orig
 
 
+def test_traceback_runs_matches_traceback_one():
+    """Run-jumping traceback (_traceback_runs) vs the per-cell walk on
+    randomized VALID direction matrices (fields 0..2 only, col 0 =
+    COL0_PACK), including H-biased (chain-shaped) walks.  Lengths align
+    on the common prefix: _traceback_one rounds up to 31-step tiles,
+    _traceback_runs returns exactly nsteps."""
+    import jax
+    import jax.numpy as jnp
+
+    from famsa_tpu.ops.dp_pallas import (COL0_PACK, _traceback_one,
+                                         _traceback_runs)
+
+    f_one = jax.jit(_traceback_one, static_argnames=("nsteps",))
+    f_run = jax.jit(_traceback_runs, static_argnames=("nsteps",))
+    rng = np.random.default_rng(91)
+    w1p, w2pe = 40, 256
+    nsteps = w1p + w2pe
+    tested = 0
+    for trial in range(60):
+        w1 = int(rng.integers(1, w1p + 1))
+        w2 = int(rng.integers(1, w2pe - 1))
+        pH = 0.8 if trial % 2 else 0.34
+        probs = [(1 - pH) / 2, pH, (1 - pH) / 2]
+        fs = [rng.choice(3, size=(w1p, w2pe), p=probs) for _ in range(3)]
+        dirs = (fs[0] | (fs[1] << 2) | (fs[2] << 4)).astype(np.int32)
+        dirs[:, 0] = COL0_PACK
+        dir0 = int(rng.integers(0, 3))
+        dd = jnp.asarray(dirs)
+        a = np.asarray(f_one(dd, jnp.int32(w1), jnp.int32(w2),
+                             jnp.int32(dir0), nsteps=nsteps))
+        if not (a == 3).any():
+            continue                    # walk invalid for random dirs
+        tested += 1
+        b = np.asarray(f_run(dd, jnp.int32(w1), jnp.int32(w2),
+                             jnp.int32(dir0), nsteps=nsteps))
+        L = min(len(a), len(b))
+        assert np.array_equal(a[:L], b[:L]), (trial, w1, w2, dir0)
+        assert (a[L:] == 3).all() and (b[L:] == 3).all()
+    assert tested > 20
+
+
 def test_merged_counters_device_matches_construct():
     """Device-side merged-profile counters (merged_counters_device) vs the
     host construct_profile on random merges - exact equality, including
@@ -271,6 +312,13 @@ def test_merged_counters_device_matches_construct():
         exp = dest.counters
         assert np.array_equal(got[:exp.shape[0]], exp.astype(np.int32))
         assert not got[exp.shape[0]:].any()
+        # blocked monotone-gather path (the chain/giant route) must be
+        # bit-identical to the one-hot matmul path
+        got_b = np.asarray(merged_counters_device(
+            jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(emits),
+            jnp.int32(W1), jnp.int32(W2), jnp.int32(n1), jnp.int32(n2),
+            blocked=True))
+        assert np.array_equal(got_b, got)
 
 
 @pytest.mark.slow

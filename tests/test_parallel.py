@@ -241,3 +241,50 @@ def test_dp_profile_sharded_paths_matches_host():
         got = dp_profile_sharded_paths(params, p1, p2, mesh)
         assert got.total == total
         assert got.path == path
+
+
+def test_dp_profile_sharded_paths_guided_matches_host():
+    """Sharded DP with the guided band mask (refinement split scenario):
+    path/total vs the host banded DP - the re-alignment corridor
+    (find_row_ranges) must survive the column sharding."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_dp_jax_parity import _make_profile
+
+    from famsa_tpu.core.aligner import align_into
+    from famsa_tpu.core.construct import _trace_path
+    from famsa_tpu.core.dp import dp_prof_prof, dp_seq_prof, find_row_ranges
+    from famsa_tpu.core.params import Params
+    from famsa_tpu.core.profile import Profile
+    from famsa_tpu.parallel.dp_sharded import dp_profile_sharded_paths
+
+    rng = np.random.default_rng(13)
+    params = Params()
+    params.adjust(50)
+    mesh = make_mesh(axis="cols")
+
+    p1 = _make_profile(rng, params, 3, 60)
+    p2 = _make_profile(rng, params, 4, 80)
+    dest = Profile(params)
+    align_into(dest, p1, p2, backend="numpy")
+    a, b = Profile(params), Profile(params)
+    for k, gs in enumerate(dest.data):
+        (a if k % 2 else b).append_raw_sequence(gs)
+    _, cm1 = a.condense()
+    _, cm2 = b.condense()
+    a.optimize_gaps()
+    b.optimize_gaps()
+    a.calculate_counters_scores()
+    b.calculate_counters_scores()
+    if len(a.data) == 1:
+        ref = dp_seq_prof(params, a, b, list(cm1), list(cm2))
+    else:
+        ref = dp_prof_prof(params, a, b, list(cm1), list(cm2))
+    path, total = _trace_path(ref, a.width, b.width)
+    rr = find_row_ranges(list(cm1), list(cm2),
+                         params.guided_alignment_radius)
+    lo = np.fromiter((r[0] for r in rr), np.int32, len(rr))
+    hi = np.fromiter((r[1] for r in rr), np.int32, len(rr))
+    got = dp_profile_sharded_paths(params, a, b, mesh, bands=(lo, hi))
+    assert got.total == total
+    assert got.path == path
