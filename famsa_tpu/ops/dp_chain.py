@@ -49,8 +49,20 @@ CHAIN_K = int(os.environ.get("FAMSA_TPU_CHAIN_K", "32"))
 # padding of the fold kernel (8*lw lanes regardless of true width)
 # costs more than the host's native DP on the true cells
 CHAIN_MIN_W2 = int(os.environ.get("FAMSA_TPU_CHAIN_MIN_W2", "1536"))
-# minimum chain-run length worth routing through the scan program
-CHAIN_MIN_LEN = int(os.environ.get("FAMSA_TPU_CHAIN_MIN_LEN", "8"))
+# minimum chain-run length worth routing through the scan program.
+# Measured on the 100k flagship (PERF.md round 5): per-RUN overheads
+# (chain-state seed upload ~40-70 ms at spine widths, chunk dispatch +
+# pull round trips) amortize only over long runs - the 100k tree's
+# spine breaks into ~8-20-merge runs, where the device chain loses to
+# the native host DP (76 ms vs ~8 ms per merge), so the default engages
+# only on strongly-caterpillar trees (the adversarial case this route
+# exists for; on multi-chip production hosts without the ~26 ms tunnel
+# round trip the break-even run length is far lower - tune via env)
+CHAIN_MIN_LEN = int(os.environ.get("FAMSA_TPU_CHAIN_MIN_LEN", "64"))
+# optimistic per-in-flight-chunk width-growth margin for picking the
+# fold variant (real growth is a few columns per chunk; overflow is
+# detected at resolve and recovered)
+CHAIN_MARGIN = int(os.environ.get("FAMSA_TPU_CHAIN_MARGIN", "512"))
 
 
 def _npack(lw):

@@ -371,7 +371,8 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
     stats_on = os.environ.get("FAMSA_TPU_SCHED_STATS", "0") == "1"
     import time as _time
     rt = {"host": [0, 0.0], "giant": [0, 0.0], "batched": [0, 0.0],
-          "sharded": [0, 0.0], "chain": [0, 0.0], "resolve_giant": [0, 0.0],
+          "sharded": [0, 0.0], "chain": [0, 0.0], "materialize": [0, 0.0],
+          "resolve_giant": [0, 0.0],
           "resolve_batched": [0, 0.0], "prep": [0, 0.0]}
 
     # ---- chain-run detection (ops/dp_chain.py): maximal sequences of
@@ -407,8 +408,8 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
         device-resident chunks (one round trip per CHAIN_K merges).
         Suppresses intra-chain release() - the chain IS the dependency
         order - and releases only the last node it completes."""
-        from .ops.dp_chain import (CHAIN_K, CHAIN_MIN_W2, ChainState,
-                                   dispatch_chain_chunk, lw_for)
+        from .ops.dp_chain import (CHAIN_K, CHAIN_MARGIN, CHAIN_MIN_W2,
+                                   ChainState, dispatch_chain_chunk, lw_for)
         from .ops.dp_pallas import MergedRef
 
         t0c = _time.perf_counter()
@@ -438,16 +439,35 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
             _tick()
 
         if idx < len(run):
+            from collections import deque as _dq
+
+            from .ops.dp_giant import FOLDS, LANE_PAD
+
             state = ChainState.seed(chain_prof, dev=chain_prof.dev_counters)
             chain_prof.dev_counters = None
-            inflight = deque()          # (chunk nodes+leaves, wsum, pending)
-            bound_extra = [0]           # widths of un-resolved chunks
+            todo = _dq((v, get_profile(leaf)) for v, leaf in run[idx:])
+            idx = len(run)
+            inflight = deque()          # ([(v, lp)], pending, cap)
             aborted = False
+            # the width BOUND (resolved + in-flight leaf sums) would
+            # force the wide fold variant almost always (a chunk's leaf
+            # sum ~ 9600 vs real growth of a few columns); instead lw is
+            # chosen OPTIMISTICALLY with a per-chunk margin, and resolve
+            # detects the (rare) overflow - the first merge whose output
+            # width exceeds the chunk's capacity poisons the device
+            # carry, so the un-built remainder re-queues and the state
+            # re-seeds from the last good host profile
 
             def resolve_one():
                 nonlocal chain_prof, last_v
-                chunk, wsum, pend = inflight.popleft()
-                for (v, lp), res in zip(chunk, pend.resolve()):
+                chunk, pend, cap = inflight.popleft()
+                results = pend.resolve()
+                overflow = None
+                redo = []
+                for t, ((v, lp), res) in enumerate(zip(chunk, results)):
+                    if overflow is not None:
+                        redo.append((v, lp))
+                        continue
                     if lp.counters is None:
                         lp.calculate_counters_scores()
                     dest = Profile(params)
@@ -455,46 +475,45 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     chain_prof = dest
                     last_v = v
                     _tick()
-                bound_extra[0] -= wsum
+                    if dest.width > cap:
+                        overflow = t
+                if overflow is not None:
+                    # the device carry past the overflow is poisoned:
+                    # requeue everything un-built (in order) and re-seed
+                    # from the last good host profile at next dispatch
+                    while inflight:
+                        later, _p, _c = inflight.popleft()
+                        redo.extend(later)
+                    for item in reversed(redo):
+                        todo.appendleft(item)
+                    state.c = None
                 state.w_host = chain_prof.width
 
-            while idx < len(run) or inflight:
-                if idx < len(run) and len(inflight) < 2 and not aborted:
-                    # grow the chunk only while the conservative width
-                    # bound (resolved width + every un-resolved leaf +
-                    # this chunk) fits a fold variant: near the capacity
-                    # ceiling, chunks SHRINK instead of aborting
-                    chunk = []
-                    wsum = 0
-                    base = state.w_host + bound_extra[0]
-                    while idx < len(run) and len(chunk) < CHAIN_K:
-                        nxt_w = gapped_sequences[run[idx][1]].size
-                        if lw_for(base + wsum + nxt_w + 1) is None:
-                            break
-                        v, leaf = run[idx]
-                        chunk.append((v, get_profile(leaf)))
-                        wsum += nxt_w
-                        idx += 1
-                    if not chunk:
+            while todo or inflight:
+                if todo and len(inflight) < 2 and not aborted:
+                    lw = lw_for(state.w_host
+                                + CHAIN_MARGIN * (len(inflight) + 1))
+                    if lw is None:
                         if inflight:
-                            # resolving tightens the bound (real widths
-                            # grow far slower than the leaf-sum bound)
                             resolve_one()
                             continue
-                        # genuinely too wide even fully resolved: hand
-                        # the remaining merges to normal routing
                         aborted = True
                         break
+                    if state.c is None:
+                        state = ChainState.seed(chain_prof)
+                    chunk = [todo.popleft()
+                             for _ in range(min(len(todo), CHAIN_K))]
                     pend = dispatch_chain_chunk(
-                        params, state, [lp for _, lp in chunk],
-                        lw_for(base + wsum + 1),
-                        card_bound=len(chain_prof.data) + bound_extra[0]
-                        + CHAIN_K * 2 + len(run),
+                        params, state, [lp for _, lp in chunk], lw,
+                        card_bound=len(chain_prof.data) + len(todo)
+                        + CHAIN_K * 3,
                         interpret=_interp)
-                    bound_extra[0] += wsum
-                    inflight.append((chunk, wsum, pend))
+                    inflight.append((chunk, pend,
+                                     FOLDS * lw - LANE_PAD))
                     continue
                 resolve_one()
+            # on abort the unprocessed merges re-enter normal routing:
+            # release(last_v) pushes the next chain node onto the heap
             if not aborted and last_v == run[-1][0]:
                 # final profile keeps its device-resident counters for
                 # the post-chain merge
@@ -536,6 +555,7 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                         rest.append(node_id)
                 batch_nodes = rest
 
+            t0s = _time.perf_counter()
             tasks = []
             for node_id in batch_nodes:
                 a, b = children[node_id]
@@ -553,6 +573,8 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                 if prof2.counters is None:
                     prof2.calculate_counters_scores()
                 tasks.append((node_id, prof1, prof2))
+            rt["materialize"][0] += len(tasks)
+            rt["materialize"][1] += _time.perf_counter() - t0s
 
             # split into device-worthy (dispatch-ordered like
             # CProfile::Align), cross-chip (giant), and host tasks
@@ -627,9 +649,12 @@ def _compute_alignment_batched(params, gapped_sequences, tree_list):
                     rest = []
                     for node_id, p1, p2 in items:
                         if _giant_ok(p1, p2):
+                            t0g = _time.perf_counter()
                             pending.append((
                                 [(node_id, p1, p2)],
                                 _dispatch_giant(params, p1, p2)))
+                            rt["giant"][0] += 1
+                            rt["giant"][1] += _time.perf_counter() - t0g
                         else:
                             rest.append((node_id, p1, p2))
                     items = rest

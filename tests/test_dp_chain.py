@@ -25,6 +25,7 @@ def _small_geometry(monkeypatch):
     monkeypatch.setattr(dp_chain, "CHAIN_K", 4)
     monkeypatch.setattr(dp_chain, "CHAIN_MIN_W2", 40)
     monkeypatch.setattr(dp_chain, "CHAIN_MIN_LEN", 3)
+    monkeypatch.setattr(dp_chain, "CHAIN_MARGIN", 16)
     yield
 
 
@@ -109,6 +110,38 @@ def test_chain_route_width_abort(monkeypatch):
     params_h.adjust(n)
     want = _align_with_tree(params_h, _mk_seqs(rng.__class__(
         np.random.PCG64(29)), n, lmin=24, lmax=40), tree, "numpy")
+
+    params_d = Params()
+    params_d.adjust(n)
+    got = _align_with_tree(params_d, seqs, tree, "jax")
+    assert got == want
+
+
+def test_chain_route_overflow_recovery(monkeypatch):
+    """Chain merges whose OUTPUT width overflows the optimistically
+    chosen fold capacity mid-chunk: resolve must detect it (output >
+    cap), requeue the un-built merges, and re-seed the device carry from
+    the last good host profile - byte-identically.  Random (dissimilar)
+    sequences make the alignment width grow by tens of columns per
+    merge, guaranteeing overflows against the shrunken 128-column
+    capacity."""
+    monkeypatch.setenv("FAMSA_TPU_DP_PALLAS", "interpret")
+    monkeypatch.setenv("FAMSA_TPU_CHAIN", "1")
+    monkeypatch.setenv("FAMSA_TPU_GIANT", "0")
+    from famsa_tpu.ops import dp_chain, dp_giant
+    monkeypatch.setattr(dp_giant, "_LWS", (32,))
+    monkeypatch.setattr(dp_giant, "GMAX_ROWS", 8 * 32 + 1)
+    monkeypatch.setattr(dp_chain, "CHAIN_MIN_W2", 30)
+
+    rng = np.random.default_rng(37)
+    n = 12
+    seqs = _mk_seqs(rng, n, lmin=30, lmax=45)
+    tree = _caterpillar(n)
+
+    params_h = Params()
+    params_h.adjust(n)
+    want = _align_with_tree(params_h, _mk_seqs(rng.__class__(
+        np.random.PCG64(37)), n, lmin=30, lmax=45), tree, "numpy")
 
     params_d = Params()
     params_d.adjust(n)
